@@ -1,0 +1,192 @@
+"""Unified typed configuration.
+
+The reference carries THREE independent layered-JSON config systems
+(``ollama_rag_system.py:585-609``, ``keystroke_logger.py:326-376``,
+``run_integrated_rag.py:90-144``), each a "defaults dict + shallow merge
+from an optional JSON file".  Here there is ONE typed config tree with the
+same overlay semantics: dataclass defaults -> optional JSON file -> explicit
+overrides (e.g. CLI flags).  ``RAGConfig.load`` also writes the default
+config file when asked, preserving ``run_integrated_rag.py:90-144``'s
+auto-generation behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class EmbeddingConfig:
+    """Encoder + chunking knobs (reference: ``embedding_pipeline.py:75-76,521-538``)."""
+
+    # "minilm" = flax MiniLM-class transformer; "fake" = deterministic
+    # feature encoder (the hermetic-test backend, reference
+    # ``embedding_pipeline.py:441-506``); "auto" = minilm unless JAX is
+    # unusable, then fake.
+    model: str = "auto"
+    dim: int = 384
+    max_seq_len: int = 256
+    chunk_size_tokens: int = 512
+    chunk_overlap_tokens: int = 50
+    batch_size: int = 256
+    cache_size: int = 4096
+    # Compute dtype for the encoder forward (bf16 feeds the MXU).
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class IndexConfig:
+    """Device index knobs.
+
+    ``tier`` selects the engine: "exact" (f32 matmul + top_k), "int8"
+    (quantized index + fused kernel), "ivf" (clustered ANN).  The
+    reference's only index was a brute-force Python cosine scan capped at
+    1000 rows (``ollama_rag_system.py:474-513``); none of these tiers cap.
+    """
+
+    tier: str = "exact"
+    initial_capacity: int = 4096
+    # fused-kernel tile along the corpus axis
+    block_rows: int = 1024
+    # IVF parameters
+    ivf_clusters: int = 256
+    ivf_nprobe: int = 8
+    ivf_iters: int = 10
+    # search this many extra results to allow host-side metadata filtering
+    overfetch: int = 4
+
+
+@dataclass
+class RetrievalConfig:
+    """Query defaults mirroring ``RAGQuery`` (``ollama_rag_system.py:74-83``)."""
+
+    max_results: int = 5
+    similarity_threshold: float = 0.7
+    time_weight: float = 0.1
+    recent_context_size: int = 100
+
+
+@dataclass
+class StoreConfig:
+    storage_path: str = "rag_storage"
+    max_documents: int = 10_000_000
+    # retention horizon for cleanup_old_documents (the reference's was a
+    # no-op stub, ``ollama_rag_system.py:843-850``; ours actually deletes)
+    retention_days: Optional[float] = None
+
+
+@dataclass
+class PrivacyConfig:
+    """Mirrors ``PrivacyFilter`` semantics (``keystroke_logger.py:76-196``)."""
+
+    enabled: bool = True
+    anonymize: bool = True
+    blocked_applications: List[str] = field(
+        default_factory=lambda: [
+            "1password", "keepass", "bitwarden", "lastpass",
+            "banking", "wallet", "signal",
+        ]
+    )
+    blocked_window_keywords: List[str] = field(
+        default_factory=lambda: ["password", "login", "sign in", "credential"]
+    )
+
+
+@dataclass
+class ServingConfig:
+    """File server + LLM handoff (``enhanced_rag_system.py:662-745``)."""
+
+    file_server_port: int = 8089
+    upload_folder: str = "uploads"
+    ollama_base_url: str = "http://localhost:11434"
+    ollama_model: str = "llama3.2:3b"
+    llm_timeout_s: float = 30.0
+    response_cache_ttl_s: float = 300.0
+    response_cache_max: int = 100
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for the sharded index + training step."""
+
+    # number of index shards; 1 = single chip (degenerate mesh, same code
+    # path as v5e-8 per SURVEY §7 step 6)
+    index_shards: int = 1
+    # axis names used across the framework
+    index_axis: str = "index"
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclass
+class RAGConfig:
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    store: StoreConfig = field(default_factory=StoreConfig)
+    privacy: PrivacyConfig = field(default_factory=PrivacyConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(
+        cls,
+        path: Optional[str] = None,
+        overrides: Optional[Dict[str, Any]] = None,
+        write_default: bool = False,
+    ) -> "RAGConfig":
+        """defaults -> JSON overlay -> explicit overrides.
+
+        ``overrides`` keys are dotted paths, e.g. ``{"index.tier": "int8"}``.
+        """
+        cfg = cls()
+        if path is not None:
+            p = Path(path)
+            if p.exists():
+                cfg = cfg.merged(json.loads(p.read_text()))
+            elif write_default:
+                p.parent.mkdir(parents=True, exist_ok=True)
+                p.write_text(json.dumps(cfg.to_dict(), indent=2))
+        if overrides:
+            for dotted, value in overrides.items():
+                cfg._set_dotted(dotted, value)
+        return cfg
+
+    def merged(self, overlay: Dict[str, Any]) -> "RAGConfig":
+        """Deep-merge a nested dict of settings over this config."""
+        new = RAGConfig(**{f.name: getattr(self, f.name) for f in dataclasses.fields(self)})
+        for section, values in overlay.items():
+            if not hasattr(new, section):
+                raise KeyError(f"unknown config section: {section!r}")
+            sub = getattr(new, section)
+            if isinstance(values, dict):
+                updated = dataclasses.replace(sub, **{
+                    k: v for k, v in values.items() if hasattr(sub, k)
+                })
+                unknown = [k for k in values if not hasattr(sub, k)]
+                if unknown:
+                    raise KeyError(f"unknown keys in [{section}]: {unknown}")
+                setattr(new, section, updated)
+            else:
+                setattr(new, section, values)
+        return new
+
+    def _set_dotted(self, dotted: str, value: Any) -> None:
+        section, _, key = dotted.partition(".")
+        if not key:
+            raise KeyError(f"override must be 'section.key', got {dotted!r}")
+        sub = getattr(self, section)
+        if not hasattr(sub, key):
+            raise KeyError(f"unknown config key: {dotted!r}")
+        setattr(self, section, dataclasses.replace(sub, **{key: value}))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2))

@@ -1,0 +1,361 @@
+"""RAGEngine — the core retrieval engine.
+
+The TPU-native replacement for the reference's ``RAGSystem``
+(``ollama_rag_system.py:557-877``) with its API holes fixed by design:
+
+* ``add_documents(batch)`` is first-class (three reference call sites
+  invoked a method that didn't exist — ``enhanced_rag_system.py:1194``,
+  ``embedding_pipeline.py:806``, ``run_integrated_rag.py:284``),
+* ONE encoder serves both ingest and query (the reference's two embedders
+  could emit mismatched dimensions and silently score 0.0,
+  ``ollama_rag_system.py:199-222``),
+* search covers the whole corpus (no newest-1000 cap,
+  ``ollama_rag_system.py:474``),
+* ``cleanup_old_documents`` actually deletes (``ollama_rag_system.py:843-850``
+  was a logging stub).
+
+Behavioral parity kept: recent-context deque appended to each query's
+context (``ollama_rag_system.py:713-717``), rolling average retrieval-time
+stats (``:705-710``), enhanced-context builder (``:723-823``), gzip JSON
+export (``:852-869``), graceful shutdown (``:871-877``).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections import Counter, deque
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from modular_rag_system_tpu.chunker import TextChunker
+from modular_rag_system_tpu.config import RAGConfig
+from modular_rag_system_tpu.index import DeviceIndex
+from modular_rag_system_tpu.models import build_encoder
+from modular_rag_system_tpu.store import DocumentStore
+from modular_rag_system_tpu.types import Document, Query, RetrievalResult, as_matrix
+
+_STOPWORDS = frozenset(
+    """a an and are as at be by for from has he in is it its of on that the to was
+    were will with this these those i you your we our they them what which who how
+    when where why not no yes do does did done can could should would may might
+    must shall about into over under again further then once here there all any
+    both each few more most other some such only own same so than too very s t
+    just don now""".split()
+)
+
+
+class RAGEngine:
+    def __init__(self, config: Optional[RAGConfig] = None) -> None:
+        self.config = config or RAGConfig()
+        self.encoder = build_encoder(self.config)
+        token_counter = getattr(self.encoder, "token_count", None)
+        self.chunker = TextChunker(
+            chunk_size_tokens=self.config.embedding.chunk_size_tokens,
+            overlap_tokens=self.config.embedding.chunk_overlap_tokens,
+            token_counter=token_counter,
+        )
+        self.store = DocumentStore(self.config.store.storage_path)
+        self.index = DeviceIndex(
+            dim=self.config.embedding.dim,
+            capacity=self.config.index.initial_capacity,
+            tier=self.config.index.tier,
+            block_rows=self.config.index.block_rows,
+        )
+        self.recent_context: deque = deque(
+            maxlen=self.config.retrieval.recent_context_size
+        )
+        self.query_stats: Dict[str, float] = {
+            "total_queries": 0,
+            "avg_retrieval_time": 0.0,
+            "total_documents_added": 0,
+        }
+        self._snapshot_path = Path(self.config.store.storage_path) / "index.npz"
+        self._restore()
+
+    # ------------------------------------------------------------------
+    # persistence
+    def _restore(self) -> None:
+        """Reload the HBM index from snapshot; re-embed any store rows the
+
+        snapshot is missing (checkpoint/resume, SURVEY §5)."""
+        n_store = self.store.max_row() + 1
+        if self._snapshot_path.exists():
+            data = np.load(self._snapshot_path)
+            if int(data["dim"]) == self.index.dim and int(data["count"]) <= max(n_store, 0):
+                emb = data["embeddings"][: int(data["count"])]
+                if emb.shape[0]:
+                    self.index.add(emb)
+        if self.index.count < n_store:
+            # embed missing rows from the store
+            missing: List[Document] = []
+            for row, doc in self.store.iter_all():
+                if row >= self.index.count:
+                    missing.append(doc)
+            if missing:
+                mat = self._encode([d.content for d in missing])
+                self.index.add(mat)
+        deleted = self.store.deleted_rows()
+        if deleted.size:
+            self.index.delete_rows(deleted[deleted < self.index.count])
+
+    def save(self) -> None:
+        self.index.snapshot(str(self._snapshot_path))
+
+    # ------------------------------------------------------------------
+    # ingest
+    def _encode(self, texts: Sequence[str]) -> np.ndarray:
+        bs = self.config.embedding.batch_size
+        mats = [
+            np.asarray(self.encoder.encode(texts[i : i + bs]))
+            for i in range(0, len(texts), bs)
+        ]
+        return (
+            np.concatenate(mats, axis=0)
+            if mats
+            else np.zeros((0, self.index.dim), np.float32)
+        )
+
+    def add_documents(self, docs: Sequence[Document]) -> List[str]:
+        """Batch add (pre-embedded or not). Returns ids. Idempotent."""
+        docs = list(docs)
+        if not docs:
+            return []
+        need = [d for d in docs if d.embedding is None]
+        if need:
+            mat = self._encode([d.content for d in need])
+            for d, e in zip(need, mat):
+                d.embedding = e
+        placements = self.store.upsert_batch(docs)
+        new_embeddings = [
+            np.asarray(d.embedding, dtype=np.float32)
+            for d, (_row, is_new) in zip(docs, placements)
+            if is_new
+        ]
+        if new_embeddings:
+            first_new = min(r for r, is_new in placements if is_new)
+            if first_new != self.index.count:
+                raise RuntimeError(
+                    f"store/index row drift: store row {first_new}, "
+                    f"index count {self.index.count}"
+                )
+            self.index.add(as_matrix(new_embeddings, self.index.dim))
+        self.query_stats["total_documents_added"] += len(new_embeddings)
+        return [d.id for d in docs]
+
+    def add_document(
+        self,
+        content: str,
+        metadata: Optional[Dict[str, Any]] = None,
+        source: str = "unknown",
+        content_type: str = "document",
+        importance: float = 1.0,
+    ) -> str:
+        """Single-doc add (reference ``RAGSystem.add_document``,
+
+        ``ollama_rag_system.py:625``) — thin wrapper over the batch path."""
+        doc = Document(
+            content=content,
+            metadata=metadata or {},
+            source=source,
+            content_type=content_type,
+            importance=importance,
+        )
+        return self.add_documents([doc])[0]
+
+    def add_text(
+        self,
+        text: str,
+        content_type: str = "document",
+        source: str = "unknown",
+        metadata: Optional[Dict[str, Any]] = None,
+    ) -> List[str]:
+        """Chunk + embed + add: the convenience ingest path."""
+        chunks = self.chunker.chunk_text(text, content_type)
+        docs = [
+            Document(
+                content=c.text,
+                content_type=content_type,
+                source=source,
+                metadata={
+                    **(metadata or {}),
+                    "chunk_index": c.index,
+                    "chunk_total": c.total,
+                },
+            )
+            for c in chunks
+        ]
+        return self.add_documents(docs)
+
+    # ------------------------------------------------------------------
+    # query
+    def query(
+        self,
+        query_text: str,
+        context: Optional[Dict[str, Any]] = None,
+        max_results: Optional[int] = None,
+        source_filters: Optional[List[str]] = None,
+        similarity_threshold: Optional[float] = None,
+        time_weight: Optional[float] = None,
+    ) -> RetrievalResult:
+        r = self.config.retrieval
+        q = Query(
+            text=query_text,
+            context=dict(context or {}),
+            max_results=max_results if max_results is not None else r.max_results,
+            similarity_threshold=(
+                similarity_threshold
+                if similarity_threshold is not None
+                else r.similarity_threshold
+            ),
+            time_weight=time_weight if time_weight is not None else r.time_weight,
+            source_filters=source_filters,
+        )
+        # recent-context attach (reference ``ollama_rag_system.py:698-699``)
+        q.context["recent_context"] = list(self.recent_context)[-10:]
+        t0 = time.perf_counter()
+        result = self._retrieve(q)
+        result.retrieval_time = time.perf_counter() - t0
+        self._update_query_stats(result.retrieval_time)
+        self.recent_context.append(
+            {"query": query_text, "timestamp": time.time(), "n_results": len(result.documents)}
+        )
+        return result
+
+    def _retrieve(self, q: Query) -> RetrievalResult:
+        if self.index.count == 0:
+            return RetrievalResult([], [], None, 0.0, 0)
+        q_emb = np.asarray(self.encoder.encode_queries([q.text]))[0]
+        overfetch = self.config.index.overfetch if (q.source_filters or q.metadata_filters) else 2
+        k = min(max(q.max_results * overfetch, q.max_results), self.index.count)
+        scores, rows = self.index.search(q_emb[None, :], k)
+        scores, rows = scores[0], rows[0]
+
+        docs: List[Document] = []
+        sims: List[float] = []
+        now = time.time()
+        fetched = self.store.get_by_rows([int(r) for r in rows if r >= 0])
+        for score, doc in zip(scores, fetched):
+            if doc is None or not np.isfinite(score):
+                continue  # deleted / padded slot
+            sim = float(np.clip(score, 0.0, 1.0))  # clamp parity:
+            # reference ``calculate_similarity`` clamps to [0,1]
+            # (``ollama_rag_system.py:199-222``)
+            if sim < q.similarity_threshold:
+                continue
+            if q.source_filters and doc.source not in q.source_filters:
+                continue
+            if q.metadata_filters and any(
+                doc.metadata.get(mk) != mv for mk, mv in q.metadata_filters.items()
+            ):
+                continue
+            docs.append(doc)
+            # recency-weighted ranking score (reference declares
+            # ``time_weight`` on RAGQuery, ``ollama_rag_system.py:80``)
+            age_days = max(now - doc.timestamp, 0.0) / 86400.0
+            recency = float(np.exp(-age_days / 7.0))
+            sims.append((1.0 - q.time_weight) * sim + q.time_weight * recency)
+        order = np.argsort(sims)[::-1][: q.max_results]
+        return RetrievalResult(
+            documents=[docs[i] for i in order],
+            similarities=[sims[i] for i in order],
+            query_embedding=q_emb,
+            retrieval_time=0.0,
+            total_documents_searched=self.index.count,
+        )
+
+    def _update_query_stats(self, dt: float) -> None:
+        s = self.query_stats
+        n = s["total_queries"]
+        s["avg_retrieval_time"] = (s["avg_retrieval_time"] * n + dt) / (n + 1)
+        s["total_queries"] = n + 1
+
+    # ------------------------------------------------------------------
+    # batch query (the TPU-native addition: many queries, one forward)
+    def query_batch(self, texts: Sequence[str], max_results: int = 5) -> List[RetrievalResult]:
+        if self.index.count == 0 or not texts:
+            return [RetrievalResult([], [], None, 0.0, 0) for _ in texts]
+        t0 = time.perf_counter()
+        q_emb = np.asarray(self.encoder.encode_queries(list(texts)))
+        k = min(max_results, self.index.count)
+        scores, rows = self.index.search(q_emb, k)
+        dt = time.perf_counter() - t0
+        out = []
+        for qi in range(len(texts)):
+            fetched = self.store.get_by_rows([int(r) for r in rows[qi] if r >= 0])
+            docs, sims = [], []
+            for score, doc in zip(scores[qi], fetched):
+                if doc is None or not np.isfinite(score):
+                    continue
+                docs.append(doc)
+                sims.append(float(np.clip(score, 0.0, 1.0)))
+            out.append(RetrievalResult(docs, sims, q_emb[qi], dt, self.index.count))
+        return out
+
+    # ------------------------------------------------------------------
+    # enhanced context (reference ``get_enhanced_context``,
+    # ``ollama_rag_system.py:723-823``)
+    def get_enhanced_context(self, query_text: str, max_results: int = 10) -> Dict[str, Any]:
+        res = self.query(query_text, max_results=max_results, similarity_threshold=0.0)
+        docs = res.documents
+        if not docs:
+            return {"summary": "No relevant context found.", "documents": [],
+                    "temporal_span_days": 0.0, "source_distribution": {},
+                    "peak_hours": [], "themes": []}
+        ts = [d.timestamp for d in docs]
+        span_days = (max(ts) - min(ts)) / 86400.0
+        source_dist = dict(Counter(d.source for d in docs))
+        hours = Counter(time.localtime(t).tm_hour for t in ts)
+        peak_hours = [h for h, _ in hours.most_common(3)]
+        words = re.findall(r"[a-zA-Z]{3,}", " ".join(d.content for d in docs).lower())
+        themes = [w for w, _ in Counter(w for w in words if w not in _STOPWORDS).most_common(10)]
+        summary = (
+            f"Found {len(docs)} relevant documents spanning "
+            f"{span_days:.1f} days from sources {sorted(source_dist)}. "
+            f"Key themes: {', '.join(themes[:5])}."
+        )
+        return {
+            "summary": summary,
+            "documents": [d.to_dict() for d in docs],
+            "similarities": res.similarities,
+            "temporal_span_days": span_days,
+            "source_distribution": source_dist,
+            "peak_hours": peak_hours,
+            "themes": themes,
+        }
+
+    # ------------------------------------------------------------------
+    # ops / lifecycle
+    def cleanup_old_documents(self, retention_days: Optional[float] = None) -> int:
+        days = retention_days if retention_days is not None else self.config.store.retention_days
+        if days is None:
+            return 0
+        n = self.store.delete_older_than(time.time() - days * 86400.0)
+        deleted = self.store.deleted_rows()
+        if deleted.size:
+            self.index.delete_rows(deleted[deleted < self.index.count])
+        return n
+
+    def get_system_stats(self) -> Dict[str, Any]:
+        return {
+            "query_stats": dict(self.query_stats),
+            "store": self.store.stats(),
+            "index": {
+                "tier": self.index.tier,
+                "count": self.index.count,
+                "capacity": self.index.capacity,
+                "dim": self.index.dim,
+                "memory_bytes": self.index.memory_bytes(),
+            },
+            "encoder": getattr(self.encoder, "name", "unknown"),
+            "recent_context_size": len(self.recent_context),
+        }
+
+    def export_data(self, path: str) -> str:
+        return self.store.export_gzip_json(path)
+
+    def shutdown(self) -> None:
+        self.save()
+        self.store.close()

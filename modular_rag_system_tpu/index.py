@@ -1,0 +1,182 @@
+"""DeviceIndex — a growable HBM-resident embedding matrix.
+
+The TPU-native replacement for the reference's vector store backends
+(ChromaDB / SQLite-with-pickled-blobs, ``ollama_rag_system.py:225-554``):
+embeddings live in device memory as one (capacity, d) matrix; append is a
+donated ``dynamic_update_slice`` (no host round-trip per doc, no full
+re-allocation — capacity doubles amortized, SURVEY §7 hard-part (d));
+search dispatches to the configured tier.
+
+Row ids are dense append order and match ``DocumentStore.row_idx``.
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_rag_system_tpu.ops import exact as exact_ops
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class DeviceIndex:
+    """Single-device index. The mesh-sharded variant lives in
+
+    ``parallel/sharded.py`` and reuses the same tiers per shard."""
+
+    def __init__(
+        self,
+        dim: int,
+        capacity: int = 4096,
+        tier: str = "exact",
+        block_rows: int = 1024,
+    ) -> None:
+        self.dim = dim
+        self.tier = tier
+        self.block_rows = block_rows
+        self.capacity = _next_pow2(max(capacity, 1024))
+        self.count = 0
+        self._lock = threading.RLock()
+        self.E = jnp.zeros((self.capacity, dim), dtype=jnp.float32)
+        # int8 tier state (built lazily by freeze()/refresh)
+        self._E_q: Optional[jax.Array] = None  # (capacity, d) int8
+        self._scales: Optional[jax.Array] = None  # (capacity,) f32
+        self._quant_dirty = True
+        # ivf tier state
+        self._ivf = None
+
+    # ------------------------------------------------------------------
+    def add(self, mat: np.ndarray) -> Tuple[int, int]:
+        """Append (n, d) rows; returns (first_row, n)."""
+        n = int(mat.shape[0])
+        if n == 0:
+            return self.count, 0
+        if mat.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {mat.shape[1]} != {self.dim}")
+        with self._lock:
+            first = self.count
+            self._ensure_capacity(self.count + n)
+            # pad to pow2 row-chunks to bound jit recompiles across batch sizes
+            padded = _next_pow2(n)
+            if self.count + padded > self.capacity:
+                self._ensure_capacity(self.count + padded)
+            buf = np.zeros((padded, self.dim), dtype=np.float32)
+            buf[:n] = mat
+            self.E = exact_ops.append_rows(self.E, jnp.asarray(buf), jnp.int32(self.count))
+            self.count += n
+            self._quant_dirty = True
+            self._ivf = None
+            return first, n
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = _next_pow2(needed)
+        old = self.E
+        self.E = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
+        self.E = exact_ops.append_rows(self.E, old, jnp.int32(0))
+        self.capacity = new_cap
+        self._quant_dirty = True
+        self._ivf = None
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        if rows.size == 0:
+            return
+        with self._lock:
+            self.E = exact_ops.zero_rows(self.E, jnp.asarray(rows, dtype=jnp.int32))
+            self._quant_dirty = True
+            self._ivf = None
+
+    # ------------------------------------------------------------------
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k rows for (Q, d) queries. Returns (scores, rows) as numpy."""
+        if self.count == 0:
+            Q = q.shape[0]
+            return (
+                np.full((Q, k), -np.inf, dtype=np.float32),
+                np.full((Q, k), -1, dtype=np.int32),
+            )
+        k_eff = min(k, self.count)
+        qj = jnp.asarray(q, dtype=jnp.float32)
+        with self._lock:
+            if self.tier == "exact":
+                scores, rows = exact_ops.exact_topk(self.E, jnp.int32(self.count), qj, k_eff)
+            elif self.tier == "int8":
+                scores, rows = self._search_int8(qj, k_eff)
+            elif self.tier == "fused":
+                scores, rows = self._search_fused(qj, k_eff)
+            elif self.tier == "ivf":
+                scores, rows = self._search_ivf(qj, k_eff)
+            else:
+                raise ValueError(f"unknown index tier {self.tier!r}")
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        if k_eff < k:  # pad to requested k
+            pad_s = np.full((q.shape[0], k - k_eff), -np.inf, dtype=scores.dtype)
+            pad_r = np.full((q.shape[0], k - k_eff), -1, dtype=rows.dtype)
+            scores = np.concatenate([scores, pad_s], axis=1)
+            rows = np.concatenate([rows, pad_r], axis=1)
+        return scores, rows
+
+    # --- non-exact tiers are wired in by later modules ----------------
+    def _search_fused(self, qj, k):
+        from modular_rag_system_tpu.ops.fused_topk import fused_topk
+
+        return fused_topk(self.E, jnp.int32(self.count), qj, k, block_rows=self.block_rows)
+
+    def _search_int8(self, qj, k):
+        from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
+        from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+        if self._quant_dirty or self._E_q is None:
+            self._E_q, self._scales = quantize_rows(self.E)
+            self._quant_dirty = False
+        return fused_topk_int8(
+            self._E_q, self._scales, jnp.int32(self.count), qj, k,
+            block_rows=self.block_rows,
+        )
+
+    def _search_ivf(self, qj, k):
+        from modular_rag_system_tpu.ops.ivf import IVFIndex
+
+        if self._ivf is None:
+            self._ivf = IVFIndex.build(self.E, self.count)
+        return self._ivf.search(qj, k)
+
+    # ------------------------------------------------------------------
+    def snapshot(self, path: str) -> None:
+        """Persist live rows to .npz (SURVEY §5 checkpoint/resume)."""
+        with self._lock:
+            live = np.asarray(self.E[: self.count])
+        np.savez_compressed(path, embeddings=live, count=self.count, dim=self.dim)
+
+    @classmethod
+    def load(cls, path: str, tier: str = "exact", block_rows: int = 1024) -> "DeviceIndex":
+        data = np.load(path)
+        dim = int(data["dim"])
+        count = int(data["count"])
+        idx = cls(dim=dim, capacity=max(count, 4096), tier=tier, block_rows=block_rows)
+        if count:
+            idx.add(data["embeddings"][:count])
+        return idx
+
+    def memory_bytes(self) -> int:
+        b = self.capacity * self.dim * 4
+        if self._E_q is not None:
+            b += self.capacity * self.dim + self.capacity * 4
+        return b
+
+    @staticmethod
+    def exists_snapshot(path: str) -> bool:  # pragma: no cover - trivial
+        return Path(path).exists()

@@ -1,0 +1,40 @@
+"""Encoder model family.
+
+* ``fake.FeatureHashEncoder`` — deterministic, dependency-free encoder for
+  hermetic tests (the TPU framework's analog of the reference's
+  ``FallbackEmbedder``, ``embedding_pipeline.py:441-506``).
+* ``encoder.MiniLMEncoder`` — flax MiniLM/BGE-class transformer encoder,
+  jit-compiled and batched (the reference embedded one text at a time,
+  ``embedding_pipeline.py:424``).
+"""
+
+from modular_rag_system_tpu.models.fake import FeatureHashEncoder
+
+
+def build_encoder(config):
+    """Encoder factory honoring ``EmbeddingConfig.model``.
+
+    The reference picked its embedder by availability probing
+    (Ollama -> sentence-transformers -> fallback,
+    ``embedding_pipeline.py:521-538``); here the chain is
+    minilm (device) -> fake (host), controlled by config with the same
+    graceful degradation.
+    """
+    model = config.embedding.model
+    if model == "fake":
+        return FeatureHashEncoder(dim=config.embedding.dim)
+    if model in ("minilm", "auto"):
+        try:
+            from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+
+            return MiniLMEncoder(
+                dim=config.embedding.dim,
+                max_seq_len=config.embedding.max_seq_len,
+                batch_size=config.embedding.batch_size,
+                dtype=config.embedding.dtype,
+            )
+        except Exception:
+            if model == "minilm":
+                raise
+            return FeatureHashEncoder(dim=config.embedding.dim)
+    raise ValueError(f"unknown encoder model {model!r}")

@@ -1,0 +1,149 @@
+"""End-to-end engine tests with the deterministic fake encoder."""
+
+import time
+
+import numpy as np
+
+from modular_rag_system_tpu.engine import RAGEngine
+from modular_rag_system_tpu.types import Document
+
+CORPUS = [
+    ("The quick brown fox jumps over the lazy dog", "animals"),
+    ("Python is a programming language used for machine learning", "tech"),
+    ("JAX compiles numerical programs for TPU accelerators", "tech"),
+    ("Cats and dogs are common household pets", "animals"),
+    ("The stock market closed higher on Friday", "finance"),
+    ("Neural networks learn representations from data", "tech"),
+]
+
+
+def make_engine(fake_config):
+    eng = RAGEngine(fake_config)
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    return eng
+
+
+def test_add_and_query_relevance(fake_config):
+    eng = make_engine(fake_config)
+    res = eng.query("programming language machine learning", max_results=3)
+    assert res.documents
+    assert "programming language" in res.documents[0].content
+    assert res.total_documents_searched == len(CORPUS)
+    assert res.retrieval_time > 0
+
+
+def test_add_documents_batch_first_class(fake_config):
+    eng = RAGEngine(fake_config)
+    docs = [Document(content=f"batch doc {i}") for i in range(10)]
+    ids = eng.add_documents(docs)
+    assert len(ids) == 10
+    assert eng.index.count == 10
+    assert eng.store.count() == 10
+
+
+def test_idempotent_reingest(fake_config):
+    eng = make_engine(fake_config)
+    n = eng.index.count
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    assert eng.index.count == n  # no duplicate rows
+    assert eng.store.count() == n
+
+
+def test_source_filters(fake_config):
+    eng = make_engine(fake_config)
+    res = eng.query("dogs and pets", source_filters=["animals"], max_results=5)
+    assert res.documents
+    assert all(d.source == "animals" for d in res.documents)
+
+
+def test_similarity_threshold(fake_config):
+    eng = make_engine(fake_config)
+    res = eng.query("quantum entanglement xylophone", similarity_threshold=0.999)
+    assert res.documents == []
+
+
+def test_add_text_chunks(fake_config):
+    eng = RAGEngine(fake_config)
+    long_text = "\n\n".join("Paragraph %d. " % i * 30 for i in range(20))
+    ids = eng.add_text(long_text, source="bigfile")
+    assert len(ids) > 1
+    assert eng.index.count == len(set(ids))
+    meta = eng.store.get_by_id(ids[0]).metadata
+    assert "chunk_index" in meta and "chunk_total" in meta
+
+
+def test_query_batch(fake_config):
+    eng = make_engine(fake_config)
+    results = eng.query_batch(["fox jumps dog", "stock market"], max_results=2)
+    assert len(results) == 2
+    assert "fox" in results[0].documents[0].content
+    assert "stock market" in results[1].documents[0].content
+
+
+def test_recent_context_attached(fake_config):
+    eng = make_engine(fake_config)
+    eng.query("first question")
+    res = eng.query("second question")
+    assert res is not None
+    assert len(eng.recent_context) == 2
+    assert eng.recent_context[0]["query"] == "first question"
+
+
+def test_stats(fake_config):
+    eng = make_engine(fake_config)
+    eng.query("anything")
+    st = eng.get_system_stats()
+    assert st["query_stats"]["total_queries"] == 1
+    assert st["index"]["count"] == len(CORPUS)
+    assert st["store"]["total_documents"] == len(CORPUS)
+    assert st["encoder"] == "feature-hash-fake"
+
+
+def test_enhanced_context(fake_config):
+    eng = make_engine(fake_config)
+    ctx = eng.get_enhanced_context("technology programming")
+    assert ctx["documents"]
+    assert ctx["themes"]
+    assert "summary" in ctx and "source_distribution" in ctx
+
+
+def test_cleanup_old_documents_real(fake_config):
+    eng = RAGEngine(fake_config)
+    old = Document(content="very old doc", timestamp=time.time() - 90 * 86400)
+    new = Document(content="new doc")
+    eng.add_documents([old, new])
+    n = eng.cleanup_old_documents(retention_days=30)
+    assert n == 1
+    res = eng.query("very old doc", similarity_threshold=0.0, max_results=5)
+    assert all(d.id != old.id for d in res.documents)
+
+
+def test_persistence_restart(fake_config):
+    eng = make_engine(fake_config)
+    eng.shutdown()
+    eng2 = RAGEngine(fake_config)
+    assert eng2.index.count == len(CORPUS)
+    res = eng2.query("programming language", max_results=1)
+    assert res.documents
+
+
+def test_restore_reembeds_missing_rows(fake_config):
+    """Snapshot missing -> rebuild embeddings from the doc store."""
+    eng = make_engine(fake_config)
+    eng.store.close()  # close WITHOUT saving snapshot
+    eng2 = RAGEngine(fake_config)
+    assert eng2.index.count == len(CORPUS)
+    res = eng2.query("fox jumps", max_results=1)
+    assert "fox" in res.documents[0].content
+
+
+def test_export_data(fake_config, tmp_path):
+    eng = make_engine(fake_config)
+    out = eng.export_data(str(tmp_path / "exp.json.gz"))
+    import gzip, json
+
+    with gzip.open(out, "rt") as f:
+        payload = json.load(f)
+    assert payload["stats"]["total_documents"] == len(CORPUS)

@@ -1,0 +1,100 @@
+"""DeviceIndex exact tier vs numpy brute force."""
+
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.index import DeviceIndex
+
+
+def normalized(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def brute_topk(E, q, k):
+    scores = q @ E.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_exact_matches_numpy(rng):
+    E = normalized(rng, 500, 64)
+    q = normalized(rng, 7, 64)
+    idx = DeviceIndex(dim=64, capacity=512)
+    idx.add(E)
+    scores, rows = idx.search(q, 10)
+    ref_scores, ref_rows = brute_topk(E, q, 10)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(rows, ref_rows)
+
+
+def test_append_growth(rng):
+    idx = DeviceIndex(dim=32, capacity=1024)
+    total = 0
+    all_rows = []
+    for n in (100, 900, 1500):  # forces capacity doubling
+        mat = normalized(rng, n, 32)
+        first, added = idx.add(mat)
+        assert first == total and added == n
+        total += n
+        all_rows.append(mat)
+    assert idx.count == 2500
+    assert idx.capacity >= 2500
+    E = np.concatenate(all_rows)
+    q = normalized(rng, 3, 32)
+    scores, rows = idx.search(q, 5)
+    ref_scores, ref_rows = brute_topk(E, q, 5)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(rows, ref_rows)
+
+
+def test_mask_beyond_count(rng):
+    idx = DeviceIndex(dim=16, capacity=1024)
+    idx.add(normalized(rng, 3, 16))
+    scores, rows = idx.search(normalized(rng, 1, 16), 3)
+    assert (rows < 3).all() and (rows >= 0).all()
+
+
+def test_k_larger_than_count_pads(rng):
+    idx = DeviceIndex(dim=16)
+    idx.add(normalized(rng, 4, 16))
+    scores, rows = idx.search(normalized(rng, 2, 16), 10)
+    assert scores.shape == (2, 10)
+    assert (rows[:, 4:] == -1).all()
+    assert np.isneginf(scores[:, 4:]).all()
+
+
+def test_empty_index(rng):
+    idx = DeviceIndex(dim=16)
+    scores, rows = idx.search(normalized(rng, 2, 16), 5)
+    assert (rows == -1).all()
+
+
+def test_delete_rows_zeroed(rng):
+    E = normalized(rng, 10, 16)
+    idx = DeviceIndex(dim=16)
+    idx.add(E)
+    # query exactly equal to row 4 -> top hit is row 4
+    _, rows = idx.search(E[4:5], 1)
+    assert rows[0, 0] == 4
+    idx.delete_rows(np.array([4]))
+    scores, rows = idx.search(E[4:5], 1)
+    assert rows[0, 0] != 4
+
+
+def test_snapshot_roundtrip(rng, tmp_path):
+    E = normalized(rng, 50, 24)
+    idx = DeviceIndex(dim=24)
+    idx.add(E)
+    p = str(tmp_path / "snap.npz")
+    idx.snapshot(p)
+    idx2 = DeviceIndex.load(p)
+    assert idx2.count == 50
+    q = normalized(rng, 2, 24)
+    np.testing.assert_allclose(idx.search(q, 5)[0], idx2.search(q, 5)[0], rtol=1e-5)
+
+
+def test_dim_mismatch_raises(rng):
+    idx = DeviceIndex(dim=16)
+    with pytest.raises(ValueError):
+        idx.add(normalized(rng, 3, 8))
