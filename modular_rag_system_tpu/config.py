@@ -36,6 +36,12 @@ class EmbeddingConfig:
     cache_size: int = 4096
     # Compute dtype for the encoder forward (bf16 feeds the MXU).
     dtype: str = "bfloat16"
+    # MiniLM-L6-class architecture (all-MiniLM-L6-v2 shape: 6 layers,
+    # hidden 384, 12 heads, FFN 1536, WordPiece vocab 30522)
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    vocab_size: int = 30522
 
 
 @dataclass

@@ -32,6 +32,10 @@ def build_encoder(config):
                 max_seq_len=config.embedding.max_seq_len,
                 batch_size=config.embedding.batch_size,
                 dtype=config.embedding.dtype,
+                num_layers=config.embedding.num_layers,
+                num_heads=config.embedding.num_heads,
+                mlp_dim=config.embedding.mlp_dim,
+                vocab_size=config.embedding.vocab_size,
             )
         except Exception:
             if model == "minilm":

@@ -1,0 +1,168 @@
+"""Flax MiniLM/BGE-class sentence encoder — the device ingest+query model.
+
+TPU-first design points (vs the reference, which ran one
+sentence-transformers forward per chunk on CPU with no batching,
+``embedding_pipeline.py:393-438``):
+
+* one ``jit``-compiled batched forward for BOTH ingest and query (the
+  reference's split embedders could emit mismatched dims,
+  ``ollama_rag_system.py:96-222``),
+* static shapes everywhere: fixed ``max_seq_len``, batch padded to
+  power-of-two buckets so the trace cache stays small,
+* bf16 activations feed the MXU; the pooled embedding is L2-normalized
+  in f32,
+* masked mean-pool (the all-MiniLM-L6-v2 recipe).
+
+Weights are random-init by default (zero-egress container); when an HF
+checkpoint cache exists, ``models.hf_loader`` maps it onto this module.
+The architecture (6 layers / hidden 384 / 12 heads / FFN 1536 / post-LN)
+matches all-MiniLM-L6-v2 so loaded weights reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_rag_system_tpu.models.tokenizer import HashingTokenizer
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class TransformerBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_dim: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        # post-LN BERT block (residual -> add -> LayerNorm)
+        attn_mask = nn.make_attention_mask(pad_mask, pad_mask, dtype=self.dtype)
+        a = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads,
+            dtype=self.dtype,
+            deterministic=True,
+        )(x, x, mask=attn_mask)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + a).astype(self.dtype)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
+        h = nn.gelu(h)
+        h = nn.Dense(self.hidden, dtype=self.dtype)(h)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + h).astype(self.dtype)
+        return x
+
+
+class SentenceEncoderModule(nn.Module):
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    mlp_dim: int = 1536
+    max_len: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids, mask):
+        B, L = ids.shape
+        pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        x = (
+            nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype, name="tok_embed")(ids)
+            + nn.Embed(self.max_len, self.hidden, dtype=self.dtype, name="pos_embed")(pos)
+        )
+        x = nn.LayerNorm(dtype=jnp.float32, name="embed_ln")(x).astype(self.dtype)
+        for i in range(self.layers):
+            x = TransformerBlock(
+                self.hidden, self.heads, self.mlp_dim, self.dtype, name=f"block_{i}"
+            )(x, mask)
+        # masked mean pool in f32, then L2 norm
+        m = mask.astype(jnp.float32)[..., None]
+        summed = jnp.sum(x.astype(jnp.float32) * m, axis=1)
+        denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        pooled = summed / denom
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12
+        )
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class MiniLMEncoder:
+    """Host-facing wrapper: tokenize -> bucket-pad -> jitted forward."""
+
+    is_fake = False
+
+    def __init__(
+        self,
+        dim: int = 384,
+        max_seq_len: int = 256,
+        batch_size: int = 256,
+        dtype: str = "bfloat16",
+        num_layers: int = 6,
+        num_heads: int = 12,
+        mlp_dim: int = 1536,
+        vocab_size: int = 30522,
+        tokenizer=None,
+        params=None,
+        seed: int = 0,
+    ) -> None:
+        self.dim = dim
+        self.max_seq_len = max_seq_len
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer or HashingTokenizer(vocab_size, max_seq_len)
+        self.module = SentenceEncoderModule(
+            vocab_size=vocab_size,
+            hidden=dim,
+            layers=num_layers,
+            heads=num_heads,
+            mlp_dim=mlp_dim,
+            max_len=max_seq_len,
+            dtype=_dtype_of(dtype),
+        )
+        self.name = f"minilm-l{num_layers}-h{dim}"
+        if params is None:
+            ids = jnp.zeros((1, max_seq_len), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(seed), ids, ids)["params"]
+        self.params = params
+        self._apply = jax.jit(
+            lambda p, ids, mask: self.module.apply({"params": p}, ids, mask)
+        )
+
+    # ------------------------------------------------------------------
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        out = np.zeros((len(texts), self.dim), np.float32)
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i : i + bs])
+            ids, mask = self.tokenizer.encode_batch(chunk)
+            n = len(chunk)
+            padded = min(_next_pow2(n), bs)
+            if padded > n:
+                ids = np.pad(ids, ((0, padded - n), (0, 0)))
+                mask = np.pad(mask, ((0, padded - n), (0, 0)))
+            emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            out[i : i + n] = np.asarray(emb[:n], dtype=np.float32)
+        return out
+
+    def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+        return self.encode(texts)
+
+    def token_count(self, text: str) -> int:
+        return self.tokenizer.token_count(text)
+
+    # device-side forward for composition into larger jitted programs
+    def apply_fn(self):
+        return self.module.apply

@@ -1,0 +1,142 @@
+"""Tokenizer for the encoder.
+
+Two backends behind one interface:
+
+* ``WordPieceTokenizer`` — real BERT-style WordPiece, used when a vocab
+  file is available (e.g. the HF ``all-MiniLM-L6-v2`` cache via
+  ``hf_loader``).
+* ``HashingTokenizer`` — dependency-free fallback: lowercase word split,
+  long words broken into fixed-size pieces, pieces hashed into the vocab
+  id space.  Deterministic and collision-stable, so random-weight encoder
+  outputs are reproducible.  This is the zero-egress default.
+
+Both produce static-shape ``(batch, max_len)`` int32 ids + masks —
+XLA-friendly: no dynamic shapes reach the jitted encoder.
+
+The reference counted tokens with tiktoken or a ``words * 1.3`` estimate
+(``embedding_pipeline.py:301-310``); here the chunker uses the actual
+encoder tokenizer's counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.IGNORECASE)
+
+# Special ids (BERT-compatible layout)
+PAD_ID = 0
+UNK_ID = 100
+CLS_ID = 101
+SEP_ID = 102
+_FIRST_REGULAR_ID = 999  # hash ids start after special/unused range
+
+
+def _hash_id(piece: str, vocab_size: int) -> int:
+    h = hashlib.md5(piece.encode("utf-8")).digest()
+    span = vocab_size - _FIRST_REGULAR_ID
+    return _FIRST_REGULAR_ID + int.from_bytes(h[:4], "little") % span
+
+
+class HashingTokenizer:
+    name = "hashing"
+
+    def __init__(self, vocab_size: int = 30522, max_len: int = 256, piece_len: int = 6) -> None:
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self.piece_len = piece_len
+
+    def tokenize(self, text: str) -> List[str]:
+        pieces: List[str] = []
+        for w in _WORD_RE.findall(text.lower()):
+            if len(w) <= self.piece_len:
+                pieces.append(w)
+            else:
+                pieces.append(w[: self.piece_len])
+                for i in range(self.piece_len, len(w), self.piece_len):
+                    pieces.append("##" + w[i : i + self.piece_len])
+        return pieces
+
+    def token_count(self, text: str) -> int:
+        return len(self.tokenize(text)) + 2  # [CLS] + [SEP]
+
+    def encode_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (ids (B, max_len) int32, mask (B, max_len) int32)."""
+        B = len(texts)
+        ids = np.full((B, self.max_len), PAD_ID, dtype=np.int32)
+        mask = np.zeros((B, self.max_len), dtype=np.int32)
+        for b, text in enumerate(texts):
+            pieces = self.tokenize(text)[: self.max_len - 2]
+            row = [CLS_ID] + [_hash_id(p, self.vocab_size) for p in pieces] + [SEP_ID]
+            ids[b, : len(row)] = row
+            mask[b, : len(row)] = 1
+        return ids, mask
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece over an explicit vocab."""
+
+    name = "wordpiece"
+
+    def __init__(self, vocab: Dict[str, int], max_len: int = 256) -> None:
+        self.vocab = vocab
+        self.max_len = max_len
+        self.vocab_size = max(vocab.values()) + 1
+        self.unk = vocab.get("[UNK]", UNK_ID)
+        self.cls = vocab.get("[CLS]", CLS_ID)
+        self.sep = vocab.get("[SEP]", SEP_ID)
+        self.pad = vocab.get("[PAD]", PAD_ID)
+        self._max_chars = 100
+
+    @classmethod
+    def from_vocab_file(cls, path: str, max_len: int = 256) -> "WordPieceTokenizer":
+        vocab: Dict[str, int] = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, max_len)
+
+    def _wordpiece(self, word: str) -> List[int]:
+        if len(word) > self._max_chars:
+            return [self.unk]
+        out: List[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur: Optional[int] = None
+            while start < end:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in self.vocab:
+                    cur = self.vocab[piece]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            out.append(cur)
+            start = end
+        return out
+
+    def tokenize_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for w in _WORD_RE.findall(text.lower()):
+            ids.extend(self._wordpiece(w))
+        return ids
+
+    def token_count(self, text: str) -> int:
+        return len(self.tokenize_ids(text)) + 2
+
+    def encode_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        B = len(texts)
+        ids = np.full((B, self.max_len), self.pad, dtype=np.int32)
+        mask = np.zeros((B, self.max_len), dtype=np.int32)
+        for b, text in enumerate(texts):
+            row = [self.cls] + self.tokenize_ids(text)[: self.max_len - 2] + [self.sep]
+            ids[b, : len(row)] = row
+            mask[b, : len(row)] = 1
+        return ids, mask
