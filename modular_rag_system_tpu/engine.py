@@ -58,12 +58,29 @@ class RAGEngine:
             token_counter=token_counter,
         )
         self.store = DocumentStore(self.config.store.storage_path)
-        self.index = DeviceIndex(
-            dim=self.config.embedding.dim,
-            capacity=self.config.index.initial_capacity,
-            tier=self.config.index.tier,
-            block_rows=self.config.index.block_rows,
-        )
+        if self.config.mesh.index_shards > 1:
+            from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+            from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+
+            self.index = ShardedIndex(
+                dim=self.config.embedding.dim,
+                mesh=make_index_mesh(
+                    self.config.mesh.index_shards, axis=self.config.mesh.index_axis
+                ),
+                capacity=self.config.index.initial_capacity,
+                tier=self.config.index.tier,
+                block_rows=self.config.index.block_rows,
+            )
+        else:
+            self.index = DeviceIndex(
+                dim=self.config.embedding.dim,
+                capacity=self.config.index.initial_capacity,
+                tier=self.config.index.tier,
+                block_rows=self.config.index.block_rows,
+                ivf_clusters=self.config.index.ivf_clusters,
+                ivf_nprobe=self.config.index.ivf_nprobe,
+                ivf_iters=self.config.index.ivf_iters,
+            )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size
         )

@@ -41,10 +41,16 @@ class DeviceIndex:
         capacity: int = 4096,
         tier: str = "exact",
         block_rows: int = 1024,
+        ivf_clusters: Optional[int] = None,
+        ivf_nprobe: int = 8,
+        ivf_iters: int = 10,
     ) -> None:
         self.dim = dim
         self.tier = tier
         self.block_rows = block_rows
+        self.ivf_clusters = ivf_clusters
+        self.ivf_nprobe = ivf_nprobe
+        self.ivf_iters = ivf_iters
         self.capacity = _next_pow2(max(capacity, 1024))
         self.count = 0
         self._lock = threading.RLock()
@@ -151,7 +157,13 @@ class DeviceIndex:
         from modular_rag_system_tpu.ops.ivf import IVFIndex
 
         if self._ivf is None:
-            self._ivf = IVFIndex.build(self.E, self.count)
+            self._ivf = IVFIndex.build(
+                self.E,
+                self.count,
+                n_clusters=self.ivf_clusters,
+                iters=self.ivf_iters,
+                nprobe=self.ivf_nprobe,
+            )
         return self._ivf.search(qj, k)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""IVF (inverted-file) ANN tier: k-means clusters + nprobe search.
+
+Build: on-device k-means (``ops.kmeans``) assigns every index row to a
+centroid; rows are bucketed host-side into a padded (C, bucket_cap)
+row-id table (static shapes — XLA-friendly).
+
+Search (one jitted program):
+
+    coarse:  q @ centroids.T  ->  top-nprobe clusters per query
+    gather:  bucket row-ids   ->  rows from E        (HBM gather)
+    fine:    masked einsum    ->  top-k over ~nprobe * bucket_cap rows
+
+Search touches ``nprobe/C`` of the corpus instead of all of it — the
+QPS-vs-recall trade the reference never had (its only search was a
+full Python cosine scan, ``ollama_rag_system.py:454-525``).
+
+Memory note: only row IDS are duplicated into buckets (4 bytes/row), not
+embeddings; the fine stage gathers rows from the same E used by the
+exact tier.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modular_rag_system_tpu.ops.kmeans import init_centroids_from_rows, kmeans_fit
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search_jit(E, centroids, bucket_ids, q, k: int, nprobe: int):
+    """q (Q, d) -> (vals (Q, k), rows (Q, k))."""
+    C, cap = bucket_ids.shape
+    # coarse quantizer
+    cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(cscores, nprobe)  # (Q, P)
+    rids = bucket_ids[probes]  # (Q, P, cap)
+    Qn = q.shape[0]
+    rids = rids.reshape(Qn, nprobe * cap)
+    rows = E[jnp.maximum(rids, 0)]  # (Q, P*cap, d); padded ids read row 0
+    scores = jnp.einsum(
+        "qd,qnd->qn", q, rows, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(rids >= 0, scores, -jnp.inf)
+    vals, pos = jax.lax.top_k(scores, k)
+    sel = jnp.take_along_axis(rids, pos, axis=1)
+    sel = jnp.where(jnp.isfinite(vals), sel, -1)
+    return vals, sel.astype(jnp.int32)
+
+
+class IVFIndex:
+    """Built snapshot of an IVF structure over a DeviceIndex's E matrix."""
+
+    def __init__(self, E, centroids, bucket_ids, count: int, nprobe: int = 8):
+        self.E = E
+        self.centroids = centroids
+        self.bucket_ids = bucket_ids  # (C, bucket_cap) i32, -1 padded
+        self.count = count
+        self.nprobe = nprobe
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        E,
+        count: int,
+        n_clusters: Optional[int] = None,
+        iters: int = 10,
+        nprobe: int = 8,
+        seed_batch: int = 65536,
+    ) -> "IVFIndex":
+        count = int(count)
+        if n_clusters is None:
+            # ~sqrt(N) clusters, at least 8, at most count
+            n_clusters = int(max(8, min(count, round(count ** 0.5))))
+        n_clusters = min(n_clusters, max(count, 1))
+        E_host_rows = np.asarray(E[:count]) if count else np.zeros((1, E.shape[1]), np.float32)
+        init = init_centroids_from_rows(E_host_rows, count, n_clusters)
+        centroids, labels = kmeans_fit(
+            E, jnp.int32(count), jnp.asarray(init), iters=iters, batch=seed_batch
+        )
+        labels = np.asarray(labels)[:count]
+        # host-side bucketization into a padded row-id table
+        order = np.argsort(labels, kind="stable")
+        sorted_labels = labels[order]
+        counts = np.bincount(sorted_labels[sorted_labels >= 0], minlength=n_clusters)
+        bucket_cap = max(int(_next_pow2(int(counts.max()))) if count else 1, 8)
+        bucket_ids = np.full((n_clusters, bucket_cap), -1, dtype=np.int32)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        for c in range(n_clusters):
+            members = order[starts[c] : starts[c] + counts[c]]
+            bucket_ids[c, : counts[c]] = members
+        return cls(E, centroids, jnp.asarray(bucket_ids), count, nprobe)
+
+    # ------------------------------------------------------------------
+    def search(self, q, k: int, nprobe: Optional[int] = None) -> Tuple:
+        nprobe = int(nprobe if nprobe is not None else self.nprobe)
+        nprobe = min(nprobe, self.bucket_ids.shape[0])
+        k = min(k, self.count) if self.count else k
+        return _ivf_search_jit(self.E, self.centroids, self.bucket_ids, q, k, nprobe)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.bucket_ids.shape[0]
+
+    @property
+    def bucket_cap(self) -> int:
+        return self.bucket_ids.shape[1]

@@ -1,0 +1,288 @@
+"""Mesh-sharded device index with ICI top-k merge (SURVEY §7 step 6).
+
+Layout: a physical array ``E_phys (S, cap_s, d)`` sharded
+``P("index", None, None)`` — shard ``s`` owns global rows ``j*S + s``
+(strided assignment, so appends stay balanced across shards without
+rebalancing).  A query runs as ONE jitted ``shard_map`` program:
+
+    replicated q  ->  per-shard fused/exact top-k over local rows
+                  ->  ``all_gather`` of (score, global-id) pairs  [ICI]
+                  ->  replicated k-merge (k * S candidates — tiny)
+
+The merge reuses the kernel's exact selection with
+smallest-global-id tie-breaking, so a 1-shard mesh and an 8-shard mesh
+return bit-identical results (SURVEY §7 hard part (e)).
+
+The reference had no distributed execution at all (SURVEY §2.7); this
+module is the TPU-native equivalent called for by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from modular_rag_system_tpu.ops.fused_topk import (
+    _use_interpret,
+    fused_topk_int8_raw,
+    fused_topk_raw,
+    select_topk,
+)
+from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
+from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ShardedIndex:
+    """Drop-in DeviceIndex replacement running on an N-device mesh."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Optional[Mesh] = None,
+        capacity: int = 4096,
+        tier: str = "exact",
+        block_rows: int = 1024,
+        axis: str = "index",
+    ) -> None:
+        self.dim = dim
+        self.tier = tier
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else make_index_mesh(axis=axis)
+        self.S = self.mesh.devices.size
+        self.block_rows = block_rows
+        self.cap_s = max(_next_pow2((capacity + self.S - 1) // self.S), block_rows)
+        self.count = 0
+        self._lock = threading.RLock()
+        self._row_sharding = NamedSharding(self.mesh, P(axis, None, None))
+        self._scale_sharding = NamedSharding(self.mesh, P(axis, None))
+        self.E = jax.device_put(
+            jnp.zeros((self.S, self.cap_s, dim), jnp.float32), self._row_sharding
+        )
+        self._E_q = None  # (S, cap_s, d) int8
+        self._scales = None  # (S, cap_s) f32
+        self._quant_dirty = True
+        self._search_cache: Dict[Tuple, callable] = {}
+        self._dummy_scales = None
+
+    # ------------------------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.S * self.cap_s
+
+    def _phys_pos(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        return rows % self.S, rows // self.S
+
+    # ------------------------------------------------------------------
+    def add(self, mat: np.ndarray) -> Tuple[int, int]:
+        n = int(mat.shape[0])
+        if n == 0:
+            return self.count, 0
+        if mat.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {mat.shape[1]} != {self.dim}")
+        with self._lock:
+            first = self.count
+            self._ensure_capacity(self.count + n)
+            rows = np.arange(first, first + n)
+            s_idx, j_idx = self._phys_pos(rows)
+            self.E = _scatter_rows(
+                self.E,
+                jnp.asarray(s_idx, jnp.int32),
+                jnp.asarray(j_idx, jnp.int32),
+                jnp.asarray(mat, jnp.float32),
+            )
+            self.count += n
+            self._quant_dirty = True
+            return first, n
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap_s = _next_pow2((needed + self.S - 1) // self.S)
+        old = self.E
+        grown = jnp.zeros((self.S, new_cap_s, self.dim), jnp.float32)
+        grown = jax.jit(
+            lambda g, o: jax.lax.dynamic_update_slice(g, o, (0, 0, 0)),
+            out_shardings=self._row_sharding,
+        )(grown, old)
+        self.E = grown
+        self.cap_s = new_cap_s
+        self._quant_dirty = True
+        self._search_cache.clear()
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        if rows.size == 0:
+            return
+        with self._lock:
+            s_idx, j_idx = self._phys_pos(np.asarray(rows))
+            zeros = jnp.zeros((len(rows), self.dim), jnp.float32)
+            self.E = _scatter_rows(
+                self.E,
+                jnp.asarray(s_idx, jnp.int32),
+                jnp.asarray(j_idx, jnp.int32),
+                zeros,
+            )
+            self._quant_dirty = True
+
+    # ------------------------------------------------------------------
+    def _refresh_quant(self) -> None:
+        if not self._quant_dirty and self._E_q is not None:
+            return
+
+        @jax.jit
+        def _q(E):
+            flat = E.reshape(-1, self.dim)
+            qv, sc = quantize_rows_jit(flat)
+            return (
+                qv.reshape(self.S, self.cap_s, self.dim),
+                sc.reshape(self.S, self.cap_s),
+            )
+
+        self._E_q, self._scales = jax.jit(
+            _q, out_shardings=(self._row_sharding, self._scale_sharding)
+        )(self.E)
+        self._quant_dirty = False
+
+    # ------------------------------------------------------------------
+    def _build_search(self, Qp: int, k: int):
+        """One jitted shard_map program: local top-k + all_gather merge."""
+        S, axis, tier = self.S, self.axis, self.tier
+        cap_s, block_rows = self.cap_s, min(self.block_rows, self.cap_s)
+        interpret = _use_interpret()
+
+        def local_and_merge(E_s, scales_s, count, q):
+            E_s = E_s[0]  # (cap_s, d)
+            s = jax.lax.axis_index(axis)
+            count_s = jnp.maximum(0, (count - s + S - 1) // S)
+            if tier == "exact":
+                scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
+                scores = jnp.where(col < count_s, scores, -jnp.inf)
+                vals, loc = jax.lax.top_k(scores, k)
+                loc = loc.astype(jnp.int32)
+            elif tier == "fused":
+                vals, loc = fused_topk_raw(
+                    E_s, count_s, q, k, block_rows, interpret
+                )
+            elif tier == "int8":
+                vals, loc = fused_topk_int8_raw(
+                    E_s, scales_s, count_s, q, k, block_rows, interpret
+                )
+            else:
+                raise ValueError(f"unknown tier {tier!r}")
+            gids = loc * S + s
+            gids = jnp.where(jnp.isfinite(vals), gids, np.int32(2**31 - 1))
+            # ICI merge: k*S candidates per query
+            all_vals = jax.lax.all_gather(vals, axis)  # (S, Qp, k)
+            all_gids = jax.lax.all_gather(gids, axis)
+            Qp_ = all_vals.shape[1]
+            cand_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(Qp_, S * k)
+            cand_g = jnp.transpose(all_gids, (1, 0, 2)).reshape(Qp_, S * k)
+            return select_topk(cand_v, cand_g, k)
+
+        if tier == "int8":
+            self._refresh_quant()
+            in_specs = (P(axis, None, None), P(axis, None), P(), P())
+        else:
+            in_specs = (P(axis, None, None), P(axis, None), P(), P())
+
+        fn = jax.shard_map(
+            local_and_merge,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        Q = q.shape[0]
+        if self.count == 0:
+            return (
+                np.full((Q, k), -np.inf, np.float32),
+                np.full((Q, k), -1, np.int32),
+            )
+        k_eff = min(k, self.count, self.cap_s)
+        sub = 16 if self.tier == "int8" else 8
+        Qp = _round_up(Q, sub)
+        qj = jnp.asarray(q, jnp.float32)
+        if Qp != Q:
+            qj = jnp.pad(qj, ((0, Qp - Q), (0, 0)))
+        with self._lock:
+            if self.tier == "int8":
+                self._refresh_quant()
+                E_in, sc_in = self._E_q, self._scales
+            else:
+                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
+                    self._dummy_scales = jax.device_put(
+                        jnp.zeros((self.S, self.cap_s), jnp.float32),
+                        self._scale_sharding,
+                    )
+                E_in, sc_in = self.E, self._dummy_scales
+            key = (Qp, k_eff, self.tier, self.cap_s)
+            fn = self._search_cache.get(key)
+            if fn is None:
+                fn = self._build_search(Qp, k_eff)
+                self._search_cache[key] = fn
+            # int8 raw expects scales as (1, cap_s) inside the shard --
+            # the P(axis, None) block IS (1, cap_s) after shard_map splits
+            vals, gids = fn(E_in, sc_in, jnp.int32(self.count), qj)
+        vals = np.asarray(vals)[:Q]
+        gids = np.asarray(gids)[:Q]
+        gids = np.where(np.isfinite(vals), gids, -1)
+        if k_eff < k:
+            vals = np.concatenate(
+                [vals, np.full((Q, k - k_eff), -np.inf, np.float32)], axis=1
+            )
+            gids = np.concatenate(
+                [gids, np.full((Q, k - k_eff), -1, np.int32)], axis=1
+            )
+        return vals, gids
+
+    # ------------------------------------------------------------------
+    def snapshot(self, path: str) -> None:
+        phys = np.asarray(self.E)  # (S, cap_s, d)
+        glob = phys.transpose(1, 0, 2).reshape(self.capacity, self.dim)
+        np.savez_compressed(
+            path, embeddings=glob[: self.count], count=self.count, dim=self.dim
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024):
+        data = np.load(path)
+        idx = cls(
+            dim=int(data["dim"]),
+            mesh=mesh,
+            capacity=max(int(data["count"]), 4096),
+            tier=tier,
+            block_rows=block_rows,
+        )
+        if int(data["count"]):
+            idx.add(data["embeddings"][: int(data["count"])])
+        return idx
+
+    def memory_bytes(self) -> int:
+        b = self.capacity * self.dim * 4
+        if self._E_q is not None:
+            b += self.capacity * self.dim + self.capacity * 4
+        return b
+
+
+@jax.jit
+def _scatter_rows(E_phys, s_idx, j_idx, batch):
+    return E_phys.at[s_idx, j_idx].set(batch)

@@ -1,0 +1,149 @@
+"""Fused Pallas top-k vs exact XLA reference (interpret mode on CPU mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.ops.exact import exact_topk
+from modular_rag_system_tpu.ops.fused_topk import fused_topk, fused_topk_int8
+from modular_rag_system_tpu.ops.quantize import dequantize_rows, quantize_rows
+
+
+def normalized(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def setup(rng, n=4096, d=128, q=5, count=None):
+    E = np.zeros((n, d), np.float32)
+    count = count if count is not None else n
+    E[:count] = normalized(rng, count, d)
+    Q = normalized(rng, q, d)
+    return jnp.asarray(E), jnp.int32(count), jnp.asarray(Q)
+
+
+def test_fused_matches_exact_full(rng):
+    E, count, q = setup(rng)
+    ve, ie = exact_topk(E, count, q, 10)
+    vf, if_ = fused_topk(E, count, q, 10, block_rows=1024)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(ve), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(if_), np.asarray(ie))
+
+
+def test_fused_partial_count(rng):
+    """Live prefix smaller than capacity: spare rows must be masked."""
+    E, count, q = setup(rng, n=4096, count=2500)
+    ve, ie = exact_topk(E, count, q, 8)
+    vf, if_ = fused_topk(E, count, q, 8, block_rows=1024)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(ve), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(if_), np.asarray(ie))
+    assert (np.asarray(if_) < 2500).all()
+
+
+def test_fused_single_query_odd_k(rng):
+    E, count, q = setup(rng, q=1)
+    vf, if_ = fused_topk(E, count, q, 7)
+    ve, ie = exact_topk(E, count, q, 7)
+    np.testing.assert_array_equal(np.asarray(if_), np.asarray(ie))
+
+
+def test_fused_k_exceeds_live_rows(rng):
+    E, count, q = setup(rng, n=1024, count=5)
+    vf, if_ = fused_topk(E, count, q, 8, block_rows=256)
+    arr = np.asarray(if_)
+    assert (arr[:, :5] >= 0).all()
+    assert (arr[:, 5:] == -1).all()
+    assert np.isneginf(np.asarray(vf)[:, 5:]).all()
+
+
+def test_fused_deterministic_ties(rng):
+    """Duplicate rows -> tie broken by smallest global id, deterministically."""
+    d = 128
+    base = normalized(rng, 1, d)
+    E = np.tile(base, (512, 1)).astype(np.float32)
+    q = base
+    vf, if_ = fused_topk(jnp.asarray(E), jnp.int32(512), jnp.asarray(q), 5, block_rows=256)
+    np.testing.assert_array_equal(np.asarray(if_)[0], np.arange(5))
+
+
+def test_fused_block_rows_variants(rng):
+    E, count, q = setup(rng, n=2048)
+    ve, ie = exact_topk(E, count, q, 10)
+    for br in (256, 512, 2048):
+        vf, if_ = fused_topk(E, count, q, 10, block_rows=br)
+        np.testing.assert_array_equal(np.asarray(if_), np.asarray(ie))
+
+
+# ----------------------------------------------------------------- int8
+def test_quantize_roundtrip(rng):
+    x = jnp.asarray(normalized(rng, 64, 128))
+    qv, scale = quantize_rows(x)
+    back = dequantize_rows(qv, scale)
+    assert np.abs(np.asarray(back) - np.asarray(x)).max() < 1e-2
+
+
+def test_quantize_zero_rows():
+    x = jnp.zeros((4, 128))
+    qv, scale = quantize_rows(x)
+    assert (np.asarray(qv) == 0).all()
+    back = dequantize_rows(qv, scale)
+    assert (np.asarray(back) == 0).all()
+
+
+def test_int8_recall_at_10(rng):
+    """recall@10 of int8 fused search vs exact f32 on random corpus."""
+    E, count, q = setup(rng, n=8192, d=128, q=20)
+    _, exact_ids = exact_topk(E, count, q, 10)
+    E_q, scales = quantize_rows(E)
+    _, int8_ids = fused_topk_int8(E_q, scales, count, q, 10, block_rows=1024)
+    exact_ids, int8_ids = np.asarray(exact_ids), np.asarray(int8_ids)
+    recall = np.mean([
+        len(set(exact_ids[i]) & set(int8_ids[i])) / 10 for i in range(exact_ids.shape[0])
+    ])
+    assert recall >= 0.9, f"int8 recall@10 = {recall}"
+
+
+def test_int8_scores_close_to_f32(rng):
+    E, count, q = setup(rng, n=2048, d=128, q=4)
+    ve, _ = exact_topk(E, count, q, 5)
+    E_q, scales = quantize_rows(E)
+    vi, _ = fused_topk_int8(E_q, scales, count, q, 5, block_rows=512)
+    np.testing.assert_allclose(np.asarray(vi), np.asarray(ve), atol=0.02)
+
+
+def test_int8_partial_count(rng):
+    E, count, q = setup(rng, n=2048, count=1000)
+    E_q, scales = quantize_rows(E)
+    _, ids = fused_topk_int8(E_q, scales, count, q, 10, block_rows=512)
+    assert (np.asarray(ids) < 1000).all()
+
+
+# ----------------------------------------------------- DeviceIndex tiers
+def test_device_index_fused_tier(rng):
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = normalized(rng, 3000, 128)
+    idx_exact = DeviceIndex(dim=128, tier="exact")
+    idx_fused = DeviceIndex(dim=128, tier="fused", block_rows=512)
+    idx_exact.add(E)
+    idx_fused.add(E)
+    q = normalized(rng, 3, 128)
+    se, re_ = idx_exact.search(q, 10)
+    sf, rf = idx_fused.search(q, 10)
+    np.testing.assert_array_equal(re_, rf)
+    np.testing.assert_allclose(se, sf, rtol=1e-5, atol=1e-6)
+
+
+def test_device_index_int8_tier(rng):
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = normalized(rng, 3000, 128)
+    idx = DeviceIndex(dim=128, tier="int8", block_rows=512)
+    idx.add(E)
+    q = normalized(rng, 2, 128)
+    scores, rows = idx.search(q, 5)
+    assert (rows >= 0).all() and (rows < 3000).all()
+    # appending more rows invalidates + rebuilds quantized state
+    idx.add(normalized(rng, 100, 128))
+    scores2, rows2 = idx.search(q, 5)
+    assert rows2.shape == (2, 5)

@@ -1,0 +1,144 @@
+"""ShardedIndex on the virtual 8-device CPU mesh: parity with single-device."""
+
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.index import DeviceIndex
+from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+from tests.conftest import cpu_mesh_devices
+
+
+def normalized(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_index_mesh(8, devices=cpu_mesh_devices(8))
+
+
+@pytest.fixture(scope="module")
+def mesh1():
+    return make_index_mesh(1, devices=cpu_mesh_devices(1))
+
+
+def test_sharded_exact_matches_single(rng, mesh8):
+    E = normalized(rng, 4000, 64)
+    q = normalized(rng, 5, 64)
+    single = DeviceIndex(dim=64, tier="exact")
+    single.add(E)
+    sharded = ShardedIndex(dim=64, mesh=mesh8, tier="exact", block_rows=256)
+    sharded.add(E)
+    sv, sr = single.search(q, 10)
+    xv, xr = sharded.search(q, 10)
+    np.testing.assert_allclose(xv, sv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(xr, sr)
+
+
+def test_sharded_one_device_degenerate(rng, mesh1):
+    """Same code path on a 1-device mesh (SURVEY §7 step 6)."""
+    E = normalized(rng, 1000, 64)
+    q = normalized(rng, 3, 64)
+    sharded = ShardedIndex(dim=64, mesh=mesh1, tier="exact", block_rows=256)
+    sharded.add(E)
+    single = DeviceIndex(dim=64, tier="exact")
+    single.add(E)
+    np.testing.assert_array_equal(sharded.search(q, 5)[1], single.search(q, 5)[1])
+
+
+def test_sharded_fused_tier(rng, mesh8):
+    E = normalized(rng, 4096, 128)
+    q = normalized(rng, 4, 128)
+    sharded = ShardedIndex(dim=128, mesh=mesh8, tier="fused", block_rows=256)
+    sharded.add(E)
+    single = DeviceIndex(dim=128, tier="exact")
+    single.add(E)
+    sv, sr = single.search(q, 10)
+    xv, xr = sharded.search(q, 10)
+    np.testing.assert_array_equal(xr, sr)
+    np.testing.assert_allclose(xv, sv, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_int8_tier_recall(rng, mesh8):
+    E = normalized(rng, 8192, 128)
+    q = normalized(rng, 8, 128)
+    sharded = ShardedIndex(dim=128, mesh=mesh8, tier="int8", block_rows=256)
+    sharded.add(E)
+    single = DeviceIndex(dim=128, tier="exact")
+    single.add(E)
+    _, sr = single.search(q, 10)
+    _, xr = sharded.search(q, 10)
+    recall = np.mean([len(set(sr[i]) & set(xr[i])) / 10 for i in range(len(q))])
+    assert recall >= 0.9, f"sharded int8 recall@10 = {recall}"
+
+
+def test_sharded_incremental_append(rng, mesh8):
+    sharded = ShardedIndex(dim=32, mesh=mesh8, tier="exact", block_rows=256)
+    single = DeviceIndex(dim=32, tier="exact")
+    chunks = [normalized(rng, n, 32) for n in (100, 57, 900)]
+    for c in chunks:
+        f1, n1 = sharded.add(c)
+        f2, n2 = single.add(c)
+        assert (f1, n1) == (f2, n2)
+    assert sharded.count == single.count == 1057
+    q = normalized(rng, 2, 32)
+    np.testing.assert_array_equal(sharded.search(q, 7)[1], single.search(q, 7)[1])
+
+
+def test_sharded_capacity_growth(rng, mesh8):
+    sharded = ShardedIndex(dim=32, mesh=mesh8, capacity=2048, tier="exact", block_rows=256)
+    cap0 = sharded.capacity
+    E = normalized(rng, cap0 + 500, 32)
+    sharded.add(E)
+    assert sharded.capacity > cap0
+    assert sharded.count == cap0 + 500
+    q = normalized(rng, 1, 32)
+    ref = DeviceIndex(dim=32)
+    ref.add(E)
+    np.testing.assert_array_equal(sharded.search(q, 5)[1], ref.search(q, 5)[1])
+
+
+def test_sharded_delete_rows(rng, mesh8):
+    E = normalized(rng, 800, 32)
+    sharded = ShardedIndex(dim=32, mesh=mesh8, tier="exact", block_rows=256)
+    sharded.add(E)
+    _, r = sharded.search(E[13:14], 1)
+    assert r[0, 0] == 13
+    sharded.delete_rows(np.array([13]))
+    _, r2 = sharded.search(E[13:14], 1)
+    assert r2[0, 0] != 13
+
+
+def test_sharded_empty(rng, mesh8):
+    sharded = ShardedIndex(dim=32, mesh=mesh8)
+    s, r = sharded.search(normalized(rng, 2, 32), 5)
+    assert (r == -1).all()
+
+
+def test_sharded_snapshot_roundtrip(rng, mesh8, tmp_path):
+    E = normalized(rng, 300, 32)
+    sharded = ShardedIndex(dim=32, mesh=mesh8, tier="exact", block_rows=256)
+    sharded.add(E)
+    p = str(tmp_path / "shard_snap.npz")
+    sharded.snapshot(p)
+    # snapshot is in GLOBAL row order -> loads into a plain DeviceIndex too
+    single = DeviceIndex.load(p)
+    assert single.count == 300
+    q = normalized(rng, 2, 32)
+    np.testing.assert_array_equal(single.search(q, 5)[1], sharded.search(q, 5)[1])
+
+
+def test_tie_break_parity_across_mesh_sizes(rng, mesh8, mesh1):
+    """Duplicate rows: 1-shard and 8-shard meshes agree exactly."""
+    base = normalized(rng, 1, 64)
+    E = np.tile(base, (512, 1)).astype(np.float32)
+    a = ShardedIndex(dim=64, mesh=mesh1, tier="fused", block_rows=256)
+    b = ShardedIndex(dim=64, mesh=mesh8, tier="fused", block_rows=64)
+    a.add(E)
+    b.add(E)
+    _, ra = a.search(base, 5)
+    _, rb = b.search(base, 5)
+    np.testing.assert_array_equal(ra, rb)
+    np.testing.assert_array_equal(ra[0], np.arange(5))
