@@ -1,0 +1,113 @@
+"""Facade (both API families) + launcher CLI."""
+
+import json
+import urllib.request
+
+import pytest
+
+from modular_rag_system_tpu.facade import EnhancedRAGSystem
+from modular_rag_system_tpu.launcher import build_arg_parser, load_config, main
+
+
+@pytest.fixture()
+def system(fake_config):
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, llm_client=False)  # falsy -> no LLM probing
+    yield s
+    s.shutdown()
+
+
+def test_both_api_families_exist(system):
+    """The reference lost query_with_files/get_system_stats to its
+    duplicate class definition (SURVEY §2.6); we expose both families."""
+    for name in ("start", "query_with_files", "add_file_from_path",
+                 "get_system_stats", "enhanced_query", "add_context_switch",
+                 "record_feedback", "process_uploaded_file"):
+        assert callable(getattr(system, name)), name
+
+
+def test_file_upload_and_query_with_files(system, tmp_path):
+    f = tmp_path / "roadmap_notes.txt"
+    f.write_text("The roadmap covers retrieval quality and TPU scaling.")
+    rec = system.add_file_from_path(str(f))
+    assert rec is not None
+    out = system.query_with_files("roadmap retrieval")
+    assert out["results"]
+    assert out["results"][0]["access_link"] == rec.access_link
+    assert out["file_references"][0]["original_name"] == "roadmap_notes.txt"
+
+
+def test_enhanced_query_full_payload(system):
+    system.engine.add_document("notes about index sharding on TPU meshes",
+                               source="notes")
+    system.add_context_switch("editor", "browser")
+    system.record_feedback("index sharding", "positive")
+    resp = system.enhanced_query("what about index sharding?",
+                                 current_app="editor",
+                                 current_content="editing sharding code index")
+    for key in ("insight", "confidence", "query_type", "sources",
+                "follow_up_queries", "bridged_contexts", "predicted_contexts",
+                "learning_adjustments", "file_references"):
+        assert key in resp, key
+    assert resp["query_type"] == "question"
+    assert resp["predicted_contexts"][0]["application"] == "browser"
+
+
+def test_capture_to_index_flow(system):
+    kc = system.enable_keystroke_capture()
+    for ch in "typing about pallas kernels on tpu hardware":
+        kc.feed_event(ch if ch != " " else "space", application="editor")
+    kc.drain()
+    res = system.engine.query("pallas kernels", max_results=3,
+                              similarity_threshold=0.0)
+    assert any("pallas" in d.content for d in res.documents)
+    assert any(d.content_type == "keystroke" for d in res.documents)
+
+
+def test_start_serves_and_ingests_inbox(fake_config, tmp_path):
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    import pathlib
+    inbox = pathlib.Path(cfg.store.storage_path) / "inbox"
+    inbox.mkdir(parents=True)
+    (inbox / "seed.txt").write_text("seed document about quarterly planning")
+    s = EnhancedRAGSystem(cfg, llm_client=False)
+    try:
+        s.start()
+        res = s.engine.query("quarterly planning", similarity_threshold=0.0)
+        assert res.documents
+        with urllib.request.urlopen(f"http://127.0.0.1:{s.files.port}/files") as r:
+            assert json.loads(r.read())["files"]
+    finally:
+        s.shutdown()
+
+
+def test_get_system_stats_shape(system):
+    st = system.get_system_stats()
+    for key in ("engine", "pipeline", "processor", "files", "started"):
+        assert key in st
+
+
+# ---------------------------------------------------------------- launcher
+def test_arg_parser_flags():
+    p = build_arg_parser()
+    args = p.parse_args(["--tier", "int8", "--storage", "/tmp/x", "--shards", "4"])
+    cfg = load_config(args)
+    assert cfg.index.tier == "int8"
+    assert cfg.store.storage_path == "/tmp/x"
+    assert cfg.mesh.index_shards == 4
+
+
+def test_launcher_self_test(tmp_storage, capsys):
+    rc = main(["--test", "--storage", tmp_storage, "--encoder", "fake",
+               "--port", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "self-test: PASSED" in out
+
+
+def test_launcher_single_query(tmp_storage, capsys):
+    rc = main(["--init-only", "--storage", tmp_storage, "--encoder", "fake",
+               "--port", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"engine"' in out
