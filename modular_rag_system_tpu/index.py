@@ -58,6 +58,7 @@ class DeviceIndex:
         # int8 tier state (built lazily by freeze()/refresh)
         self._E_q: Optional[jax.Array] = None  # (capacity, d) int8
         self._scales: Optional[jax.Array] = None  # (capacity,) f32
+        self._E_bf16: Optional[jax.Array] = None  # (capacity, d) bf16
         self._quant_dirty = True
         # ivf tier state
         self._ivf = None
@@ -122,6 +123,8 @@ class DeviceIndex:
                 scores, rows = self._search_int8(qj, k_eff)
             elif self.tier == "fused":
                 scores, rows = self._search_fused(qj, k_eff)
+            elif self.tier == "bf16":
+                scores, rows = self._search_bf16(qj, k_eff)
             elif self.tier == "ivf":
                 scores, rows = self._search_ivf(qj, k_eff)
             else:
@@ -140,6 +143,17 @@ class DeviceIndex:
         from modular_rag_system_tpu.ops.fused_topk import fused_topk
 
         return fused_topk(self.E, jnp.int32(self.count), qj, k, block_rows=self.block_rows)
+
+    def _search_bf16(self, qj, k):
+        """bf16 index tier: half the HBM traffic of f32 at recall ~= 1."""
+        from modular_rag_system_tpu.ops.fused_topk import fused_topk
+
+        if self._quant_dirty or self._E_bf16 is None:
+            self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
+            self._quant_dirty = False
+        return fused_topk(
+            self._E_bf16, jnp.int32(self.count), qj, k, block_rows=self.block_rows
+        )
 
     def _search_int8(self, qj, k):
         from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8

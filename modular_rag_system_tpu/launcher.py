@@ -32,7 +32,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None, help="path to JSON config overlay")
     p.add_argument("--storage", default=None, help="storage path override")
     p.add_argument("--port", type=int, default=None, help="file-server port override")
-    p.add_argument("--tier", default=None, choices=["exact", "fused", "int8", "ivf"],
+    p.add_argument("--tier", default=None, choices=["exact", "fused", "bf16", "int8", "ivf"],
                    help="index tier override")
     p.add_argument("--encoder", default=None, choices=["auto", "minilm", "fake"],
                    help="encoder override")

@@ -56,7 +56,6 @@ def _select_topk(aug_scores, aug_ids, k: int):
     Returns (vals (Q, k), ids (Q, k)), sorted descending; ties broken by
     smallest global id.  Pure vectorized ops (VPU-friendly, no sort).
     """
-    Q = aug_scores.shape[0]
     out_vals = []
     out_ids = []
     for _ in range(k):
@@ -69,8 +68,7 @@ def _select_topk(aug_scores, aug_ids, k: int):
         out_vals.append(m)
         out_ids.append(sel_id)
         # invalidate exactly the selected candidate
-        hit = is_max & (aug_ids == sel_id)
-        aug_scores = jnp.where(hit, _NEG_INF, aug_scores)
+        aug_scores = jnp.where(is_max & (aug_ids == sel_id), _NEG_INF, aug_scores)
     return (
         jnp.concatenate(out_vals, axis=1),
         jnp.concatenate(out_ids, axis=1).astype(jnp.int32),
@@ -92,8 +90,10 @@ def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids,
         run_vals[:] = jnp.full_like(run_vals, _NEG_INF)
         run_ids[:] = jnp.full_like(run_ids, _BIG_I32)
 
-    q = q_ref[:]  # (Q, d)
-    tile = e_ref[:]  # (B, d)
+    tile = e_ref[:]  # (B, d) f32 or bf16 (the bf16 index tier halves HBM
+    # traffic with recall ~= 1; no in-kernel conversion needed — bf16 is
+    # the MXU's native dtype)
+    q = q_ref[:].astype(tile.dtype)  # (Q, d)
     scores = jax.lax.dot_general(
         q, tile,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -105,6 +105,11 @@ def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids,
     count = count_ref[0, 0]
     scores = jnp.where(gids < count, scores, _NEG_INF)
 
+    # NOTE: a skip-merge fast path (only run selection when
+    # any(tile_max > running_min)) was tried here with both pl.when and
+    # lax.cond, and a rolled fori_loop selection; all three hang the
+    # Mosaic compiler on this toolchain.  The unconditional unrolled
+    # selection below is the known-good formulation.
     aug_scores = jnp.concatenate([run_vals[:], scores], axis=1)
     aug_ids = jnp.concatenate([run_ids[:], gids], axis=1)
     vals, ids = _select_topk(aug_scores, aug_ids, k)
@@ -170,7 +175,7 @@ def fused_topk(E, count, q, k: int, block_rows: int = 1024):
     """
     cap, d = E.shape
     Q = q.shape[0]
-    block_rows = min(block_rows, cap)
+    block_rows = min(block_rows, cap, _max_block_rows(d, E.dtype))
     if cap % block_rows:
         raise ValueError(f"capacity {cap} not divisible by block_rows {block_rows}")
     Qp = _round_up(Q, 8)
@@ -181,6 +186,19 @@ def fused_topk(E, count, q, k: int, block_rows: int = 1024):
     )
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals[:Q], ids[:Q]
+
+
+def _max_block_rows(d: int, dtype) -> int:
+    """Largest pow2 tile fitting the ~16MB VMEM budget with double
+
+    buffering plus headroom for q/scores/scratch."""
+    itemsize = jnp.dtype(dtype).itemsize
+    budget = 10 * 1024 * 1024  # leave ~6MB headroom
+    rows = budget // (2 * d * itemsize)
+    p = 1
+    while p * 2 <= rows:
+        p *= 2
+    return max(p, 256)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +235,11 @@ def _fused_kernel_int8(count_ref, q_ref, e_ref, scale_ref, vals_ref, ids_ref, ru
     count = count_ref[0, 0]
     scores = jnp.where(gids < count, scores, _NEG_INF)
 
+    # NOTE: a skip-merge fast path (only run selection when
+    # any(tile_max > running_min)) was tried here with both pl.when and
+    # lax.cond, and a rolled fori_loop selection; all three hang the
+    # Mosaic compiler on this toolchain.  The unconditional unrolled
+    # selection below is the known-good formulation.
     aug_scores = jnp.concatenate([run_vals[:], scores], axis=1)
     aug_ids = jnp.concatenate([run_ids[:], gids], axis=1)
     vals, ids = _select_topk(aug_scores, aug_ids, k)

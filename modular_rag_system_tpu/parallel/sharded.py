@@ -76,6 +76,7 @@ class ShardedIndex:
         )
         self._E_q = None  # (S, cap_s, d) int8
         self._scales = None  # (S, cap_s) f32
+        self._E_bf16 = None  # (S, cap_s, d) bf16
         self._quant_dirty = True
         self._search_cache: Dict[Tuple, callable] = {}
         self._dummy_scales = None
@@ -175,7 +176,7 @@ class ShardedIndex:
                 scores = jnp.where(col < count_s, scores, -jnp.inf)
                 vals, loc = jax.lax.top_k(scores, k)
                 loc = loc.astype(jnp.int32)
-            elif tier == "fused":
+            elif tier in ("fused", "bf16"):
                 vals, loc = fused_topk_raw(
                     E_s, count_s, q, k, block_rows, interpret
                 )
@@ -227,6 +228,19 @@ class ShardedIndex:
             if self.tier == "int8":
                 self._refresh_quant()
                 E_in, sc_in = self._E_q, self._scales
+            elif self.tier == "bf16":
+                if self._quant_dirty or self._E_bf16 is None:
+                    self._E_bf16 = jax.jit(
+                        lambda e: e.astype(jnp.bfloat16),
+                        out_shardings=self._row_sharding,
+                    )(self.E)
+                    self._quant_dirty = False
+                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
+                    self._dummy_scales = jax.device_put(
+                        jnp.zeros((self.S, self.cap_s), jnp.float32),
+                        self._scale_sharding,
+                    )
+                E_in, sc_in = self._E_bf16, self._dummy_scales
             else:
                 if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
                     self._dummy_scales = jax.device_put(

@@ -147,3 +147,22 @@ def test_device_index_int8_tier(rng):
     idx.add(normalized(rng, 100, 128))
     scores2, rows2 = idx.search(q, 5)
     assert rows2.shape == (2, 5)
+
+
+def test_bf16_tier_recall(rng):
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = normalized(rng, 3000, 128)
+    exact = DeviceIndex(dim=128, tier="exact")
+    b16 = DeviceIndex(dim=128, tier="bf16", block_rows=512)
+    exact.add(E)
+    b16.add(E)
+    q = normalized(rng, 8, 128)
+    _, re_ = exact.search(q, 10)
+    _, rb = b16.search(q, 10)
+    recall = np.mean([len(set(re_[i]) & set(rb[i])) / 10 for i in range(8)])
+    assert recall >= 0.95, recall
+    # appending invalidates the cached bf16 copy
+    b16.add(normalized(rng, 64, 128))
+    _, rb2 = b16.search(q, 5)
+    assert rb2.shape == (8, 5)

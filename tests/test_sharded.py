@@ -142,3 +142,16 @@ def test_tie_break_parity_across_mesh_sizes(rng, mesh8, mesh1):
     _, rb = b.search(base, 5)
     np.testing.assert_array_equal(ra, rb)
     np.testing.assert_array_equal(ra[0], np.arange(5))
+
+
+def test_sharded_bf16_tier(rng, mesh8):
+    E = normalized(rng, 4096, 128)
+    q = normalized(rng, 4, 128)
+    sharded = ShardedIndex(dim=128, mesh=mesh8, tier="bf16", block_rows=256)
+    sharded.add(E)
+    single = DeviceIndex(dim=128, tier="exact")
+    single.add(E)
+    _, sr = single.search(q, 10)
+    _, xr = sharded.search(q, 10)
+    recall = np.mean([len(set(sr[i]) & set(xr[i])) / 10 for i in range(4)])
+    assert recall >= 0.95, recall
