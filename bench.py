@@ -1,0 +1,104 @@
+"""Headline benchmark: QPS/chip at recall@10 on a 1M-chunk corpus.
+
+This measures BASELINE.json config 3: a compressed HBM-resident index
+(bf16, recall@10 == 1.0 vs exact f32, validated in-run) searched by the
+fused Pallas dot-product+top-k kernel with a 128-query batch.
+
+``vs_baseline`` compares against the CPU brute-force cosine scan — the
+faithful stand-in for the reference's search path
+(``ollama_rag_system.py:454-525``: per-row Python/numpy cosine; our CPU
+baseline is numpy BLAS matmul + argpartition over the SAME full corpus,
+which is strictly FASTER than the reference's loop, so the reported
+speedup is a lower bound).  The CPU time is measured on a 1/8 subset and
+scaled linearly (documented extrapolation; brute force is linear in N).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from modular_rag_system_tpu.ops.exact import exact_topk
+    from modular_rag_system_tpu.ops.fused_topk import fused_topk
+
+    on_tpu = jax.default_backend() == "tpu"
+    N = 1_048_576 if on_tpu else 65_536
+    d, Q, k = 384, 128, 10
+    iters = 30 if on_tpu else 5
+
+    rng = np.random.default_rng(0)
+    E = rng.standard_normal((N, d)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    q = rng.standard_normal((Q, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    Ej = jnp.asarray(E)
+    E16 = Ej.astype(jnp.bfloat16)
+    qj = jnp.asarray(q)
+    cnt = jnp.int32(N)
+    jax.block_until_ready(E16)
+
+    # --- device: fused bf16 kernel ------------------------------------
+    def run():
+        return fused_topk(E16, cnt, qj, k, block_rows=2048)
+
+    vals, ids = run()
+    np.asarray(vals)  # sync after compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        vals, ids = run()
+    np.asarray(vals)
+    np.asarray(ids)
+    dt = (time.perf_counter() - t0) / iters
+    qps = Q / dt
+
+    # --- recall vs exact f32 on-device --------------------------------
+    ev, eids = exact_topk(Ej, cnt, qj, k)
+    eids = np.asarray(eids)
+    gids = np.asarray(ids)
+    recall = float(
+        np.mean([len(set(eids[i]) & set(gids[i])) / k for i in range(Q)])
+    )
+
+    # --- CPU baseline: numpy brute force on a subset, scaled ----------
+    sub = N // 8
+    E_sub = E[:sub]
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        scores = q @ E_sub.T
+        part = np.argpartition(-scores, k, axis=1)[:, :k]
+    cpu_dt_sub = (time.perf_counter() - t0) / reps
+    cpu_dt_full = cpu_dt_sub * (N / sub)  # brute force is linear in N
+    cpu_qps = Q / cpu_dt_full
+
+    result = {
+        "metric": "QPS/chip at recall@10, 1M-chunk bf16 fused index"
+        if on_tpu
+        else "QPS at recall@10 (CPU smoke, 64k chunks)",
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / cpu_qps, 1),
+        "recall_at_10": round(recall, 4),
+        "p50_batch_ms": round(dt * 1000, 3),
+        "corpus": N,
+        "dim": d,
+        "query_batch": Q,
+        "cpu_baseline_qps": round(cpu_qps, 2),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

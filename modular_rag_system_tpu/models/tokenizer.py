@@ -36,10 +36,23 @@ SEP_ID = 102
 _FIRST_REGULAR_ID = 999  # hash ids start after special/unused range
 
 
+def _first_regular(vocab_size: int) -> int:
+    """First non-special id: BERT-style 999 for real-size vocabs, packed
+
+    right after the specials for tiny test vocabs (guards the modulo
+    span from going non-positive, which produced out-of-range ids)."""
+    if vocab_size > 2 * _FIRST_REGULAR_ID:
+        return _FIRST_REGULAR_ID
+    if vocab_size <= SEP_ID + 2:
+        raise ValueError(f"vocab_size {vocab_size} too small (min {SEP_ID + 2})")
+    return SEP_ID + 1
+
+
 def _hash_id(piece: str, vocab_size: int) -> int:
     h = hashlib.md5(piece.encode("utf-8")).digest()
-    span = vocab_size - _FIRST_REGULAR_ID
-    return _FIRST_REGULAR_ID + int.from_bytes(h[:4], "little") % span
+    first = _first_regular(vocab_size)
+    span = vocab_size - first
+    return first + int.from_bytes(h[:4], "little") % span
 
 
 class HashingTokenizer:
