@@ -41,7 +41,17 @@ from modular_rag_system_tpu.pipeline import EmbeddingPipeline
 
 
 class EnhancedRAGSystem:
-    def __init__(self, config: Optional[RAGConfig] = None, llm_client=None) -> None:
+    def __init__(
+        self,
+        config: Optional[RAGConfig] = None,
+        llm_client=None,
+        capture_batch_size: int = 1,
+    ) -> None:
+        """``capture_batch_size > 1`` routes capture callbacks through a
+
+        ``pipeline.MicroBatcher`` (reference ``KeystrokeEmbeddingProcessor``
+        semantics: flush at batch_size or 30 s); the default is immediate
+        per-callback ingest."""
         self.config = config or RAGConfig()
         self.engine = RAGEngine(self.config)
         self.pipeline = EmbeddingPipeline(
@@ -73,6 +83,14 @@ class EnhancedRAGSystem:
             cache_max=self.config.serving.response_cache_max,
         )
         self.keystrokes: Optional[KeystrokeCapture] = None
+        self.batcher = None
+        if capture_batch_size > 1:
+            from modular_rag_system_tpu.pipeline import MicroBatcher
+
+            self.batcher = MicroBatcher(
+                self.pipeline, self.engine, batch_size=capture_batch_size
+            )
+            self.batcher.start_background()
         self._started = False
 
     # ------------------------------------------------------------------
@@ -104,13 +122,18 @@ class EnhancedRAGSystem:
         self.aggregator.add_keystroke_context(content, metadata) if ctype == "keystroke" \
             else self.aggregator.add_ocr_context(content, metadata)
         self.bridge.add_context(metadata.get("application", "unknown"), content)
-        results = self.pipeline.process_content(content, ctype, metadata)
-        docs = self.pipeline.create_rag_documents(results, source=ctype)
-        self.engine.add_documents(docs)
+        if self.batcher is not None:
+            self.batcher.add(content, metadata)
+        else:
+            results = self.pipeline.process_content(content, ctype, metadata)
+            docs = self.pipeline.create_rag_documents(results, source=ctype)
+            self.engine.add_documents(docs)
 
     def shutdown(self) -> None:
         if self.keystrokes is not None:
             self.keystrokes.stop()
+        if self.batcher is not None:
+            self.batcher.stop()
         self.files.stop_web_server()
         self.engine.shutdown()
         self._started = False

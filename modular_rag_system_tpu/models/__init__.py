@@ -25,6 +25,15 @@ def build_encoder(config):
         return FeatureHashEncoder(dim=config.embedding.dim)
     if model in ("minilm", "auto"):
         try:
+            # prefer real pretrained weights when an HF cache exists
+            # (zero-egress container: usually absent -> random init)
+            from modular_rag_system_tpu.models.hf_loader import (
+                try_build_pretrained_encoder,
+            )
+
+            pretrained = try_build_pretrained_encoder(config)
+            if pretrained is not None:
+                return pretrained
             from modular_rag_system_tpu.models.encoder import MiniLMEncoder
 
             return MiniLMEncoder(

@@ -215,3 +215,96 @@ class EmbeddingPipeline:
             "avg_processing_time": (sum(self._times) / len(self._times)) if self._times else 0.0,
             "encoder": getattr(self.encoder, "name", "unknown"),
         }
+
+
+class MicroBatcher:
+    """Micro-batcher between capture adapters and the engine.
+
+    Parity with the reference ``KeystrokeEmbeddingProcessor``
+    (``embedding_pipeline.py:745-848``): buffers incoming (content,
+    metadata) items and flushes them as ONE ``batch_process`` +
+    ``add_documents`` call when ``batch_size`` items accumulate or
+    ``flush_timeout_s`` elapses.  A background poll thread handles the
+    timeout path; ``flush()`` is the synchronous entry used by tests and
+    shutdown.
+    """
+
+    def __init__(
+        self,
+        pipeline: EmbeddingPipeline,
+        engine,
+        batch_size: int = 5,
+        flush_timeout_s: float = 30.0,
+        poll_interval_s: float = 5.0,
+        buffer_cap: int = 100,
+    ) -> None:
+        import threading
+
+        self.pipeline = pipeline
+        self.engine = engine
+        self.batch_size = batch_size
+        self.flush_timeout_s = flush_timeout_s
+        self.poll_interval_s = poll_interval_s
+        self._buffer: deque = deque(maxlen=buffer_cap)
+        self._last_flush = time.time()
+        self._lock = __import__("threading").RLock()
+        self._thread = None
+        self._stop = threading.Event()
+        self.stats = {"items": 0, "flushes": 0, "documents_added": 0}
+
+    def add(self, content: str, metadata: Optional[Dict[str, Any]] = None) -> None:
+        with self._lock:
+            self._buffer.append(
+                {"content": content, "metadata": metadata or {},
+                 "content_type": (metadata or {}).get("content_type", "keystroke")}
+            )
+            self.stats["items"] += 1
+            if len(self._buffer) >= self.batch_size:
+                self._flush_locked()
+
+    def flush(self) -> int:
+        with self._lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> int:
+        if not self._buffer:
+            return 0
+        items, self._buffer = list(self._buffer), deque(maxlen=self._buffer.maxlen)
+        self._last_flush = time.time()
+        results = self.pipeline.batch_process(items)
+        docs = []
+        for item, rs in zip(items, results):
+            docs.extend(
+                self.pipeline.create_rag_documents(
+                    rs, source=item["metadata"].get("application", item["content_type"])
+                )
+            )
+        if docs:
+            self.engine.add_documents(docs)
+        self.stats["flushes"] += 1
+        self.stats["documents_added"] += len(docs)
+        return len(docs)
+
+    # ------------------------------------------------------------------
+    def start_background(self) -> None:
+        import threading
+
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.wait(self.poll_interval_s):
+                with self._lock:
+                    if self._buffer and time.time() - self._last_flush >= self.flush_timeout_s:
+                        self._flush_locked()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        self.flush()

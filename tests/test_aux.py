@@ -1,0 +1,132 @@
+"""Aux subsystems: MicroBatcher, WindowTracker, profiling, GUI gating,
+HF loader gating, examples smoke."""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.chunker import TextChunker
+from modular_rag_system_tpu.engine import RAGEngine
+from modular_rag_system_tpu.models.fake import FeatureHashEncoder
+from modular_rag_system_tpu.pipeline import EmbeddingPipeline, MicroBatcher
+from modular_rag_system_tpu.utils.profiling import TimingRegistry
+
+
+# ---------------------------------------------------------------- batcher
+def make_batcher(fake_config, batch_size=3):
+    eng = RAGEngine(fake_config)
+    pipe = EmbeddingPipeline(eng.encoder, eng.chunker)
+    return MicroBatcher(pipe, eng, batch_size=batch_size,
+                        flush_timeout_s=0.2, poll_interval_s=0.05), eng
+
+
+def test_microbatcher_flush_at_batch_size(fake_config):
+    b, eng = make_batcher(fake_config, batch_size=3)
+    for i in range(3):
+        b.add(f"captured text number {i} with enough words",
+              {"application": "editor", "content_type": "keystroke"})
+    assert b.stats["flushes"] == 1
+    assert eng.index.count == 3
+    # items below threshold stay buffered
+    b.add("pending item", {"content_type": "keystroke"})
+    assert b.stats["flushes"] == 1
+
+
+def test_microbatcher_timeout_flush(fake_config):
+    b, eng = make_batcher(fake_config, batch_size=50)
+    b.start_background()
+    b.add("timed out item text", {"content_type": "keystroke"})
+    time.sleep(0.6)
+    b.stop()
+    assert b.stats["flushes"] >= 1
+    assert eng.index.count == 1
+
+
+def test_microbatcher_facade_integration(fake_config):
+    from modular_rag_system_tpu.facade import EnhancedRAGSystem
+
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, llm_client=False, capture_batch_size=2)
+    try:
+        kc = s.enable_keystroke_capture()
+        for text in ("first captured sentence here", "second captured sentence here"):
+            for ch in text:
+                kc.feed_event(ch if ch != " " else "space", application="editor")
+            kc.feed_event("enter", application="other-app")  # force session split
+        kc.drain()
+        s.batcher.flush()
+        res = s.engine.query("captured sentence", max_results=3,
+                             similarity_threshold=0.0)
+        assert res.documents
+    finally:
+        s.shutdown()
+
+
+# ---------------------------------------------------------------- windows
+def test_window_tracker_fallback_chain():
+    from modular_rag_system_tpu.ingest.windows import WindowTracker
+
+    wt = WindowTracker(min_interval_s=0.0)
+    info = wt.get_active_window_info()
+    assert set(info) == {"application", "window_title"}
+    # headless container: tools missing -> Unknown terminal fallback
+    if not wt.available:
+        assert info == {"application": "Unknown", "window_title": "Unknown"}
+
+
+def test_window_tracker_rate_limit():
+    from modular_rag_system_tpu.ingest.windows import WindowTracker
+
+    wt = WindowTracker(min_interval_s=60.0)
+    a = wt.get_active_window_info()
+    wt._last_info = {"application": "cached", "window_title": "cached"}
+    b = wt.get_active_window_info()  # within interval -> cached value
+    assert b["application"] == "cached"
+
+
+# ---------------------------------------------------------------- profiling
+def test_timing_registry():
+    reg = TimingRegistry()
+    with reg.track("op"):
+        time.sleep(0.01)
+    reg.record("op", 0.02)
+    st = reg.stats()["op"]
+    assert st["count"] == 2
+    assert st["avg_s"] > 0.005
+    assert "p50_s" in st and "p99_s" in st
+
+
+# ---------------------------------------------------------------- gating
+def test_gui_gated_headless(fake_config):
+    from modular_rag_system_tpu import gui
+
+    if gui.tkinter_available():
+        pytest.skip("display present; gating not applicable")
+    with pytest.raises(RuntimeError, match="CLI"):
+        gui.launch_gui(object())
+
+
+def test_hf_loader_gated_offline(fake_config):
+    from modular_rag_system_tpu.models.hf_loader import try_build_pretrained_encoder
+
+    # zero-egress container without an HF cache -> None, never raises
+    assert try_build_pretrained_encoder(fake_config) is None
+
+
+# ---------------------------------------------------------------- examples
+@pytest.mark.parametrize("script", ["basic_usage.py", "llm_integration.py"])
+def test_examples_run(script, tmp_path):
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, f"examples/{script}"],
+        capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "error" not in out.stdout.lower() or "LLM" in out.stdout
