@@ -36,6 +36,17 @@ SEP_ID = 102
 _FIRST_REGULAR_ID = 999  # hash ids start after special/unused range
 
 
+def _fnv1a(data: bytes) -> int:
+    """FNV-1a 32-bit — chosen over md5 because the native C++ text engine
+
+    (``native/text_engine.cpp``) reproduces it bit-exactly with no crypto
+    dependency; Python and C++ tokenization must agree id-for-id."""
+    h = 0x811C9DC5
+    for b in data:
+        h = ((h ^ b) * 0x01000193) & 0xFFFFFFFF
+    return h
+
+
 def _first_regular(vocab_size: int) -> int:
     """First non-special id: BERT-style 999 for real-size vocabs, packed
 
@@ -49,19 +60,32 @@ def _first_regular(vocab_size: int) -> int:
 
 
 def _hash_id(piece: str, vocab_size: int) -> int:
-    h = hashlib.md5(piece.encode("utf-8")).digest()
     first = _first_regular(vocab_size)
     span = vocab_size - first
-    return first + int.from_bytes(h[:4], "little") % span
+    return first + _fnv1a(piece.encode("utf-8")) % span
 
 
 class HashingTokenizer:
     name = "hashing"
 
-    def __init__(self, vocab_size: int = 30522, max_len: int = 256, piece_len: int = 6) -> None:
+    def __init__(
+        self,
+        vocab_size: int = 30522,
+        max_len: int = 256,
+        piece_len: int = 6,
+        use_native: bool = True,
+    ) -> None:
         self.vocab_size = vocab_size
         self.max_len = max_len
         self.piece_len = piece_len
+        self._native = None
+        if use_native:
+            try:
+                from modular_rag_system_tpu.native import get_engine
+
+                self._native = get_engine()
+            except Exception:
+                self._native = None
 
     def tokenize(self, text: str) -> List[str]:
         pieces: List[str] = []
@@ -75,10 +99,23 @@ class HashingTokenizer:
         return pieces
 
     def token_count(self, text: str) -> int:
+        if self._native is not None and text.isascii():
+            return self._native.token_count(text, self.piece_len)
         return len(self.tokenize(text)) + 2  # [CLS] + [SEP]
 
     def encode_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (ids (B, max_len) int32, mask (B, max_len) int32)."""
+        """Returns (ids (B, max_len) int32, mask (B, max_len) int32).
+
+        Uses the native C++ engine when available (bit-exact for ASCII
+        input; non-ASCII batches take the pure-Python path)."""
+        if (
+            self._native is not None
+            and texts
+            and all(t.isascii() for t in texts)
+        ):
+            return self._native.tokenize_batch(
+                texts, self.max_len, self.vocab_size, self.piece_len
+            )
         B = len(texts)
         ids = np.full((B, self.max_len), PAD_ID, dtype=np.int32)
         mask = np.zeros((B, self.max_len), dtype=np.int32)

@@ -1,0 +1,80 @@
+"""Native C++ text engine: build, bit-exact parity with Python, speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.models.tokenizer import HashingTokenizer
+from modular_rag_system_tpu.native import get_engine
+
+CORPUS = [
+    "The quick brown fox jumps over the lazy dog.",
+    "internationalization and localization are long words",
+    "short",
+    "punctuation, numbers 12345 and symbols #!? mixed in",
+    "a " * 300,  # long text hitting truncation
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = get_engine()
+    if eng is None:
+        pytest.skip("native engine unavailable (g++ build failed)")
+    return eng
+
+
+def test_native_builds(engine):
+    assert engine is not None
+
+
+def test_tokenize_parity_with_python(engine):
+    py = HashingTokenizer(vocab_size=30522, max_len=64, use_native=False)
+    nat = HashingTokenizer(vocab_size=30522, max_len=64, use_native=True)
+    assert nat._native is not None
+    texts = [t for t in CORPUS if t]
+    ids_py, mask_py = py.encode_batch(texts)
+    ids_nat, mask_nat = nat.encode_batch(texts)
+    np.testing.assert_array_equal(ids_nat, ids_py)
+    np.testing.assert_array_equal(mask_nat, mask_py)
+
+
+def test_tokenize_parity_small_vocab(engine):
+    py = HashingTokenizer(vocab_size=512, max_len=32, piece_len=4, use_native=False)
+    nat = HashingTokenizer(vocab_size=512, max_len=32, piece_len=4, use_native=True)
+    texts = ["some words for a small vocabulary test", "xyz 987"]
+    np.testing.assert_array_equal(
+        nat.encode_batch(texts)[0], py.encode_batch(texts)[0]
+    )
+
+
+def test_token_count_parity(engine):
+    py = HashingTokenizer(use_native=False)
+    nat = HashingTokenizer(use_native=True)
+    for t in CORPUS:
+        if t:
+            assert nat.token_count(t) == py.token_count(t), t
+
+
+def test_non_ascii_falls_back_to_python(engine):
+    nat = HashingTokenizer(max_len=32, use_native=True)
+    py = HashingTokenizer(max_len=32, use_native=False)
+    texts = ["café naïve 中文"]
+    np.testing.assert_array_equal(
+        nat.encode_batch(texts)[0], py.encode_batch(texts)[0]
+    )
+
+
+def test_native_is_faster(engine):
+    texts = ["word salad example text with several tokens apiece"] * 500
+    py = HashingTokenizer(max_len=128, use_native=False)
+    nat = HashingTokenizer(max_len=128, use_native=True)
+    t0 = time.perf_counter()
+    py.encode_batch(texts)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nat.encode_batch(texts)
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_py, (t_nat, t_py)
