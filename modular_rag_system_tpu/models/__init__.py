@@ -23,6 +23,19 @@ def build_encoder(config):
     model = config.embedding.model
     if model == "fake":
         return FeatureHashEncoder(dim=config.embedding.dim)
+    if model == "ollama":
+        from modular_rag_system_tpu.models.ollama import OllamaEmbedder
+
+        enc = OllamaEmbedder(
+            base_url=config.serving.ollama_base_url,
+            dim=config.embedding.dim,
+            timeout_s=config.serving.llm_timeout_s,
+        )
+        if not enc.available:
+            raise RuntimeError(
+                f"ollama server unreachable at {config.serving.ollama_base_url}"
+            )
+        return enc
     if model in ("minilm", "auto"):
         try:
             # prefer real pretrained weights when an HF cache exists

@@ -177,3 +177,36 @@ class ContrastiveTrainer:
     def sync_encoder(self) -> None:
         """Publish trained params back into the serving encoder."""
         self.encoder.params = self.params
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (orbax; SURVEY §5)
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        # checkpoint host copies: restore then needs no sharding metadata
+        # and works on any mesh shape
+        host = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+            {
+                "params": self.params,
+                "opt_state": self.opt_state,
+                "step": self.step_count,
+            },
+        )
+        with ocp.PyTreeCheckpointer() as ckpt:
+            ckpt.save(path, host, force=True)
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckpt:
+            restored = ckpt.restore(path)
+        self.params = jax.device_put(restored["params"], self._param_shardings)
+        # orbax returns plain dicts; rebuild optax's NamedTuple structure
+        # from the live opt_state template
+        treedef = jax.tree.structure(self.opt_state)
+        leaves = jax.tree.leaves(restored["opt_state"])
+        self.opt_state = jax.tree.unflatten(
+            treedef, [jnp.asarray(l) for l in leaves]
+        )
+        self.step_count = int(restored["step"])

@@ -130,3 +130,59 @@ def test_examples_run(script, tmp_path):
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "error" not in out.stdout.lower() or "LLM" in out.stdout
+
+
+def test_ollama_encoder_unreachable_raises(fake_config):
+    from modular_rag_system_tpu.models import build_encoder
+
+    cfg = fake_config.merged({"embedding": {"model": "ollama"},
+                              "serving": {"ollama_base_url": "http://127.0.0.1:1"}})
+    with pytest.raises(RuntimeError, match="unreachable"):
+        build_encoder(cfg)
+
+
+def test_ollama_encoder_roundtrip_with_fake_server(fake_config, tmp_path):
+    """Serve a minimal Ollama-compatible API and run the real HTTP path."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as _np
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b'{"models": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            prompt = _json.loads(self.rfile.read(n))["prompt"]
+            rng = _np.random.default_rng(abs(hash(prompt)) % 2**32)
+            emb = rng.standard_normal(384).tolist()
+            body = _json.dumps({"embedding": emb}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from modular_rag_system_tpu.models.ollama import OllamaEmbedder
+
+        enc = OllamaEmbedder(base_url=f"http://127.0.0.1:{srv.server_address[1]}",
+                             dim=384)
+        assert enc.available
+        emb = enc.encode(["hello", "world"])
+        assert emb.shape == (2, 384)
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+        # deterministic per prompt
+        np.testing.assert_array_equal(enc.encode(["hello"])[0], emb[0])
+    finally:
+        srv.shutdown()

@@ -102,3 +102,28 @@ def test_mismatched_pairs_raise(tiny_encoder):
     trainer = ContrastiveTrainer(tiny_encoder, mesh)
     with pytest.raises(ValueError):
         trainer.step(["a"], ["b", "c"])
+
+
+def test_checkpoint_roundtrip(tiny_encoder, tmp_path):
+    from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+
+    mesh = make_train_mesh(2, 1, devices=cpu_mesh_devices(2))
+    trainer = ContrastiveTrainer(tiny_encoder, mesh, learning_rate=1e-3)
+    qs = [q for q, _ in PAIRS]
+    ps = [p for _, p in PAIRS]
+    for _ in range(3):
+        loss_before, _ = trainer.step(qs, ps)
+    ckpt = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(ckpt)
+    # fresh trainer restores and continues deterministically
+    enc2 = MiniLMEncoder(
+        dim=64, max_seq_len=32, batch_size=16,
+        num_layers=2, num_heads=4, mlp_dim=128, vocab_size=1000,
+        dtype="float32",
+    )
+    trainer2 = ContrastiveTrainer(enc2, mesh, learning_rate=1e-3)
+    trainer2.restore_checkpoint(ckpt)
+    assert trainer2.step_count == trainer.step_count == 3
+    la, _ = trainer.step(qs, ps)
+    lb, _ = trainer2.step(qs, ps)
+    assert abs(la - lb) < 1e-5, (la, lb)
