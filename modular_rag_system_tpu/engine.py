@@ -355,6 +355,44 @@ class RAGEngine:
             self.index.delete_rows(deleted[deleted < self.index.count])
         return n
 
+    def compact(self) -> int:
+        """Physically drop deleted rows: renumber the store densely and
+
+        rebuild the device index from the surviving embeddings.  Returns
+        the number of rows reclaimed.  (The reference accumulated deleted
+        data forever; its cleanup was a no-op stub.)"""
+        before = self.index.count
+        # snapshot live embeddings in OLD row order
+        self.index.snapshot(str(self._snapshot_path))
+        emb = np.load(self._snapshot_path)["embeddings"]
+        live_old = self.store.compact()
+        live_emb = emb[np.asarray(live_old, dtype=np.int64)]
+        # rebuild a fresh index of the same class/config
+        if hasattr(self.index, "mesh"):
+            from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+
+            self.index = ShardedIndex(
+                dim=self.index.dim,
+                mesh=self.index.mesh,
+                capacity=max(len(live_old), 4096),
+                tier=self.index.tier,
+                block_rows=self.index.block_rows,
+            )
+        else:
+            self.index = DeviceIndex(
+                dim=self.index.dim,
+                capacity=max(len(live_old), 4096),
+                tier=self.index.tier,
+                block_rows=self.index.block_rows,
+                ivf_clusters=self.index.ivf_clusters,
+                ivf_nprobe=self.index.ivf_nprobe,
+                ivf_iters=self.index.ivf_iters,
+            )
+        if len(live_old):
+            self.index.add(live_emb)
+        self.save()
+        return before - self.index.count
+
     def get_system_stats(self) -> Dict[str, Any]:
         return {
             "query_stats": dict(self.query_stats),

@@ -224,6 +224,31 @@ class DocumentStore:
             self._conn.commit()
         return int(n)
 
+    def compact(self) -> List[int]:
+        """Drop tombstoned rows and renumber live rows densely.
+
+        Returns the list of OLD row indices in their new dense order, so
+        the caller can rebuild the device index by gathering those rows.
+        """
+        with self._lock:
+            cur = self._conn.cursor()
+            live = [
+                int(r[0])
+                for r in cur.execute(
+                    "SELECT row_idx FROM documents WHERE deleted = 0 ORDER BY row_idx"
+                ).fetchall()
+            ]
+            cur.execute("DELETE FROM documents WHERE deleted = 1")
+            # two-phase renumber to avoid UNIQUE collisions
+            for new, old in enumerate(live):
+                cur.execute(
+                    "UPDATE documents SET row_idx = ? WHERE row_idx = ?",
+                    (-(new + 1), old),
+                )
+            cur.execute("UPDATE documents SET row_idx = -row_idx - 1 WHERE row_idx < 0")
+            self._conn.commit()
+        return live
+
     # ------------------------------------------------------------------
     def stats(self) -> Dict[str, Any]:
         with self._lock:

@@ -147,3 +147,31 @@ def test_export_data(fake_config, tmp_path):
     with gzip.open(out, "rt") as f:
         payload = json.load(f)
     assert payload["stats"]["total_documents"] == len(CORPUS)
+
+
+def test_compact_reclaims_deleted_rows(fake_config):
+    eng = make_engine(fake_config)
+    ids = [d.id for d in eng.store.get_by_rows(range(len(CORPUS)), bump_access=False)]
+    eng.store.delete_ids(ids[1:3])
+    eng.index.delete_rows(np.array([1, 2]))
+    reclaimed = eng.compact()
+    assert reclaimed == 2
+    assert eng.index.count == len(CORPUS) - 2
+    assert eng.store.count(include_deleted=True) == len(CORPUS) - 2
+    # retrieval still works and never returns the deleted docs
+    res = eng.query("programming language machine learning", max_results=6)
+    assert res.documents
+    assert all(d.id not in ids[1:3] for d in res.documents)
+    # row alignment preserved: self-query returns self
+    doc0 = eng.store.get_by_rows([0], bump_access=False)[0]
+    r0 = eng.query(doc0.content, max_results=1)
+    assert r0.documents[0].id == doc0.id
+    # appends continue cleanly after compaction
+    eng.add_document("post compaction document")
+    assert eng.index.count == len(CORPUS) - 1
+
+
+def test_compact_noop_when_nothing_deleted(fake_config):
+    eng = make_engine(fake_config)
+    assert eng.compact() == 0
+    assert eng.index.count == len(CORPUS)
