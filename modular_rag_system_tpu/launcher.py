@@ -39,6 +39,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=None, help="index mesh shards")
     mode = p.add_mutually_exclusive_group()
     mode.add_argument("--cli", action="store_true", help="interactive REPL")
+    mode.add_argument("--gui", action="store_true", help="Tkinter GUI (needs a display)")
     mode.add_argument("--daemon", action="store_true", help="serve until interrupted")
     mode.add_argument("--init-only", action="store_true", help="initialize and exit")
     mode.add_argument("--test", action="store_true", help="run the self-test smoke mode")
@@ -147,14 +148,36 @@ def run_repl(cfg: RAGConfig) -> int:
 
 
 def run_daemon(cfg: RAGConfig) -> int:
+    from modular_rag_system_tpu.serving import RAGHTTPServer
+
     sys_ = _build_system(cfg)
     sys_.start()
-    print(f"rag-tpu daemon: file server on :{sys_.files.port}; Ctrl-C to stop")
+    api = RAGHTTPServer(sys_, port=cfg.serving.file_server_port + 1
+                        if cfg.serving.file_server_port else 0)
+    api_port = api.start()
+    print(f"rag-tpu daemon: files :{sys_.files.port}, query API :{api_port}; "
+          f"Ctrl-C to stop", flush=True)
     try:
         while True:
             time.sleep(1.0)
     except KeyboardInterrupt:
         return 0
+    finally:
+        api.stop()
+        sys_.shutdown()
+
+
+def run_gui(cfg: RAGConfig) -> int:
+    from modular_rag_system_tpu.gui import launch_gui
+
+    sys_ = _build_system(cfg)
+    sys_.start()
+    try:
+        launch_gui(sys_)
+        return 0
+    except RuntimeError as exc:
+        print(f"error: {exc}")
+        return 1
     finally:
         sys_.shutdown()
 
@@ -182,6 +205,8 @@ def main(argv: Optional[list] = None) -> int:
         return run_self_test(cfg)
     if args.cli:
         return run_repl(cfg)
+    if args.gui:
+        return run_gui(cfg)
     if args.daemon:
         return run_daemon(cfg)
     if args.query:

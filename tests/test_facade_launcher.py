@@ -111,3 +111,63 @@ def test_launcher_single_query(tmp_storage, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"engine"' in out
+
+
+def test_http_query_api(fake_config):
+    import json
+    import urllib.request
+
+    from modular_rag_system_tpu.facade import EnhancedRAGSystem
+    from modular_rag_system_tpu.serving import RAGHTTPServer
+
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, llm_client=False)
+    s.engine.add_document("serving api test document about kernels", source="docs")
+    srv = RAGHTTPServer(s, port=0)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=5) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["docs"] == 1
+        # raw engine query
+        code, out = post("/query", {"query": "kernels", "enhanced": False,
+                                    "max_results": 3})
+        assert code == 200 and out["results"][0]["source"] == "docs"
+        # enhanced query
+        code, out = post("/query", {"query": "what about kernels?"})
+        assert code == 200 and "insight" in out
+        # add through the API then find it
+        code, out = post("/add", {"content": "added via http api", "source": "api"})
+        assert code == 200 and out["chunks"] == 1
+        code, out = post("/query", {"query": "added via http", "enhanced": False})
+        assert any(r["source"] == "api" for r in out["results"])
+        # feedback
+        code, out = post("/feedback", {"query": "kernels", "type": "positive"})
+        assert code == 200 and out["recorded"]
+        # error paths
+        code, out = post("/query", {})
+        assert code == 400 and "missing" in out["error"]
+        code, _ = post("/nope", {})
+        assert code == 404
+        req = urllib.request.Request(base + "/query", data=b"not json{",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+        s.shutdown()
