@@ -118,7 +118,7 @@ def config2_ingest_100k(scale):
     ingest_s = time.perf_counter() - t0
     # query QPS (batched)
     queries = [f"synthetic words w{i%997}" for i in range(128)]
-    eng.query_batch(queries[:8], max_results=10)  # warm/compile
+    eng.query_batch(queries, max_results=10)  # warm/compile (same shape)
     t0 = time.perf_counter()
     eng.query_batch(queries, max_results=10)
     query_s = time.perf_counter() - t0
@@ -270,7 +270,7 @@ def config5_sharded_e2e(scale):
     lat_ms = np.array(sorted(lat)) * 1000
     # aggregate throughput via batch path
     queries = [f"tokens t{i % 503}" for i in range(128)]
-    eng.query_batch(queries[:8])
+    eng.query_batch(queries)  # warm/compile (same shape)
     t0 = time.perf_counter()
     eng.query_batch(queries)
     agg = 128 / (time.perf_counter() - t0)

@@ -90,6 +90,10 @@ class RAGEngine:
             "total_documents_added": 0,
         }
         self._snapshot_path = Path(self.config.store.storage_path) / "index.npz"
+        # fused encode+search programs, keyed by (Qp, k) — one device
+        # dispatch per query batch instead of two (the ~1 ms relay
+        # round-trip dominates single-query latency otherwise)
+        self._fused_query_cache: Dict = {}
         self._restore()
 
     # ------------------------------------------------------------------
@@ -241,14 +245,92 @@ class RAGEngine:
         )
         return result
 
+    # ------------------------------------------------------------------
+    # fused device query: tokenize on host, then ONE jitted program does
+    # encoder forward + top-k search (only for the flax encoder + plain
+    # DeviceIndex exact/fused/bf16 tiers; other combinations take the
+    # two-step path)
+    def _device_query(self, texts, k: int):
+        from modular_rag_system_tpu.index import DeviceIndex
+        from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+
+        if not (
+            isinstance(self.encoder, MiniLMEncoder)
+            and isinstance(self.index, DeviceIndex)
+            and self.index.tier in ("exact", "fused", "bf16")
+        ):
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        ids, mask = self.encoder.tokenizer.encode_batch(list(texts))
+        Q = len(texts)
+        Qp = 1
+        while Qp < Q:
+            Qp <<= 1
+        if Qp != Q:
+            ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
+            mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
+        tier = self.index.tier
+        key = (Qp, k, tier, self.index.capacity)
+        fn = self._fused_query_cache.get(key)
+        if fn is None:
+            module = self.encoder.module
+            block_rows = min(self.index.block_rows, self.index.capacity)
+
+            def program(params, E, count, ids, mask):
+                q = module.apply({"params": params}, ids, mask)
+                if tier == "exact":
+                    from modular_rag_system_tpu.ops.exact import exact_topk
+
+                    return exact_topk.__wrapped__(E, count, q, k)
+                from modular_rag_system_tpu.ops.fused_topk import (
+                    _use_interpret,
+                    fused_topk_raw,
+                )
+
+                qp = q
+                if qp.shape[0] % 8:
+                    qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))
+                vals, rid = fused_topk_raw(
+                    E, count, qp, k, block_rows, _use_interpret()
+                )
+                return vals[: q.shape[0]], rid[: q.shape[0]]
+
+            fn = jax.jit(program)
+            self._fused_query_cache[key] = fn
+        E_in = self.index.E
+        if tier == "bf16":
+            self.index._search_bf16  # ensure attr exists
+            if self.index._quant_dirty or self.index._E_bf16 is None:
+                self.index._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(
+                    self.index.E
+                )
+                self.index._quant_dirty = False
+            E_in = self.index._E_bf16
+        q_emb_scores, rows = fn(
+            self.encoder.params,
+            E_in,
+            jnp.int32(self.index.count),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+        return np.asarray(q_emb_scores)[:Q], np.asarray(rows)[:Q]
+
     def _retrieve(self, q: Query) -> RetrievalResult:
         if self.index.count == 0:
             return RetrievalResult([], [], None, 0.0, 0)
-        q_emb = np.asarray(self.encoder.encode_queries([q.text]))[0]
         overfetch = self.config.index.overfetch if (q.source_filters or q.metadata_filters) else 2
         k = min(max(q.max_results * overfetch, q.max_results), self.index.count)
-        scores, rows = self.index.search(q_emb[None, :], k)
-        scores, rows = scores[0], rows[0]
+        fused = self._device_query([q.text], k)
+        if fused is not None:
+            scores, rows = fused
+            scores, rows = scores[0], rows[0]
+            q_emb = None
+        else:
+            q_emb = np.asarray(self.encoder.encode_queries([q.text]))[0]
+            scores, rows = self.index.search(q_emb[None, :], k)
+            scores, rows = scores[0], rows[0]
 
         docs: List[Document] = []
         sims: List[float] = []

@@ -175,3 +175,36 @@ def test_compact_noop_when_nothing_deleted(fake_config):
     eng = make_engine(fake_config)
     assert eng.compact() == 0
     assert eng.index.count == len(CORPUS)
+
+
+def test_fused_query_path_matches_two_step(tmp_storage):
+    """MiniLM encoder + DeviceIndex -> single fused program; results must
+    equal the two-step encode-then-search path."""
+    from modular_rag_system_tpu.config import RAGConfig
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "dim": 64, "max_seq_len": 32,
+                      "batch_size": 8, "num_layers": 2, "num_heads": 4,
+                      "mlp_dim": 128, "vocab_size": 1000, "dtype": "float32"},
+        "store": {"storage_path": tmp_storage},
+        "retrieval": {"similarity_threshold": 0.0},
+    })
+    eng = RAGEngine(cfg)
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    # fused path active for this configuration
+    res = eng.query("machine learning language", max_results=3)
+    assert eng._fused_query_cache, "fused path was not used"
+    # compare against the explicit two-step path
+    q_emb = np.asarray(eng.encoder.encode_queries(["machine learning language"]))
+    scores, rows = eng.index.search(q_emb, 6)
+    fused = eng._device_query(["machine learning language"], 6)
+    np.testing.assert_array_equal(fused[1][0], rows[0])
+    np.testing.assert_allclose(fused[0][0], scores[0], rtol=1e-4, atol=1e-5)
+    # bf16 tier also goes through the fused program
+    eng.index.tier = "bf16"
+    eng._fused_query_cache.clear()
+    res2 = eng.query("machine learning language", max_results=3)
+    assert res2.documents
+    assert any(k[2] == "bf16" for k in eng._fused_query_cache)
+    eng.shutdown()
