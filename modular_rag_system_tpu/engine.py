@@ -377,9 +377,14 @@ class RAGEngine:
         if self.index.count == 0 or not texts:
             return [RetrievalResult([], [], None, 0.0, 0) for _ in texts]
         t0 = time.perf_counter()
-        q_emb = np.asarray(self.encoder.encode_queries(list(texts)))
         k = min(max_results, self.index.count)
-        scores, rows = self.index.search(q_emb, k)
+        fused = self._device_query(list(texts), k)
+        if fused is not None:
+            scores, rows = fused
+            q_emb = np.zeros((len(texts), self.index.dim), np.float32)
+        else:
+            q_emb = np.asarray(self.encoder.encode_queries(list(texts)))
+            scores, rows = self.index.search(q_emb, k)
         dt = time.perf_counter() - t0
         out = []
         for qi in range(len(texts)):
