@@ -192,18 +192,22 @@ def config4_ivf_sweep(scale):
     # embedding spaces cluster, so the sweep uses center+noise data
     n_centers = max(N // 1024, 64)
     sigma = 0.35 / np.sqrt(d)  # total noise norm ~0.35 vs unit centers
-    centers = _normalized(rng, n_centers, d)
+    centers = jnp.asarray(_normalized(rng, n_centers, d))
 
-    def sample(assignments):
-        x = centers[assignments] + sigma * rng.standard_normal(
-            (len(assignments), d)
-        ).astype(np.float32)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        return x.astype(np.float32)
+    import functools
 
-    E = sample(rng.integers(0, n_centers, size=N))
-    q = sample(rng.integers(0, n_centers, size=Q))
-    Ej, qj = jnp.asarray(E), jnp.asarray(q)
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def sample(key, n_static_shape):
+        k1, k2 = jax.random.split(key)
+        assign = jax.random.randint(k1, (n_static_shape,), 0, n_centers)
+        x = centers[assign] + sigma * jax.random.normal(
+            k2, (n_static_shape, d), dtype=jnp.float32
+        )
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    # generate on device: 4M x 384 host RNG takes minutes single-threaded
+    Ej = _sync(sample(jax.random.PRNGKey(0), N))
+    qj = _sync(sample(jax.random.PRNGKey(1), Q))
     _, eids = exact_topk(Ej, jnp.int32(N), qj, k)
     eids = np.asarray(_sync(eids))
     n_clusters = int(round(N ** 0.5))
