@@ -281,9 +281,9 @@ class RAGEngine:
             def program(params, E, count, ids, mask):
                 q = module.apply({"params": params}, ids, mask)
                 if tier == "exact":
-                    from modular_rag_system_tpu.ops.exact import exact_topk
+                    from modular_rag_system_tpu.ops.exact import exact_topk_raw
 
-                    return exact_topk.__wrapped__(E, count, q, k)
+                    return exact_topk_raw(E, count, q, k)
                 from modular_rag_system_tpu.ops.fused_topk import (
                     _use_interpret,
                     fused_topk_raw,

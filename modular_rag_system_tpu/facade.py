@@ -46,12 +46,14 @@ class EnhancedRAGSystem:
         config: Optional[RAGConfig] = None,
         llm_client=None,
         capture_batch_size: int = 1,
+        enable_llm: bool = True,
     ) -> None:
         """``capture_batch_size > 1`` routes capture callbacks through a
 
         ``pipeline.MicroBatcher`` (reference ``KeystrokeEmbeddingProcessor``
         semantics: flush at batch_size or 30 s); the default is immediate
-        per-callback ingest."""
+        per-callback ingest.  ``enable_llm=False`` skips LLM probing
+        entirely (hermetic tests / air-gapped deployments)."""
         self.config = config or RAGConfig()
         self.engine = RAGEngine(self.config)
         self.pipeline = EmbeddingPipeline(
@@ -75,7 +77,12 @@ class EnhancedRAGSystem:
         self.bridge = CrossAppContextBridge()
         self.predictor = PredictiveContextSwitcher()
         self.learner = LearningAdaptationSystem()
-        self.llm = llm_client if llm_client is not None else build_llm_client(self.config)
+        if not enable_llm:
+            self.llm = None
+        elif llm_client is not None:
+            self.llm = llm_client or None  # falsy sentinel also disables
+        else:
+            self.llm = build_llm_client(self.config)
         self.processor = RAGQueryProcessor(
             self.engine,
             llm_client=self.llm,

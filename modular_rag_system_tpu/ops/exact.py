@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k",))
-def exact_topk(E: jax.Array, count: jax.Array, q: jax.Array, k: int):
-    """Top-k inner-product search over the live prefix of E.
+def exact_topk_raw(E: jax.Array, count: jax.Array, q: jax.Array, k: int):
+    """Traceable top-k inner-product search over the live prefix of E
+
+    (compose inside larger jitted programs, e.g. the fused query path).
 
     Args:
       E: (capacity, d) float32 embedding matrix (rows L2-normalized).
@@ -38,6 +39,9 @@ def exact_topk(E: jax.Array, count: jax.Array, q: jax.Array, k: int):
     scores = jnp.where(col < count, scores, -jnp.inf)
     top, idx = jax.lax.top_k(scores, k)
     return top, idx.astype(jnp.int32)
+
+
+exact_topk = partial(jax.jit, static_argnames=("k",))(exact_topk_raw)
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -196,12 +196,7 @@ class ShardedIndex:
             cand_g = jnp.transpose(all_gids, (1, 0, 2)).reshape(Qp_, S * k)
             return select_topk(cand_v, cand_g, k)
 
-        if tier == "int8":
-            self._refresh_quant()
-            in_specs = (P(axis, None, None), P(axis, None), P(), P())
-        else:
-            in_specs = (P(axis, None, None), P(axis, None), P(), P())
-
+        in_specs = (P(axis, None, None), P(axis, None), P(), P())
         fn = jax.shard_map(
             local_and_merge,
             mesh=self.mesh,
