@@ -386,11 +386,15 @@ class RAGEngine:
             q_emb = np.asarray(self.encoder.encode_queries(list(texts)))
             scores, rows = self.index.search(q_emb, k)
         dt = time.perf_counter() - t0
+        # ONE store round-trip for all queries' rows (not one per query)
+        flat_rows = sorted({int(r) for r in rows.ravel() if r >= 0})
+        fetched = self.store.get_by_rows(flat_rows)
+        by_row = {r: d for r, d in zip(flat_rows, fetched)}
         out = []
         for qi in range(len(texts)):
-            fetched = self.store.get_by_rows([int(r) for r in rows[qi] if r >= 0])
             docs, sims = [], []
-            for score, doc in zip(scores[qi], fetched):
+            for score, r in zip(scores[qi], rows[qi]):
+                doc = by_row.get(int(r)) if r >= 0 else None
                 if doc is None or not np.isfinite(score):
                     continue
                 docs.append(doc)
