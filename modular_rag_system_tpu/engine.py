@@ -253,10 +253,16 @@ class RAGEngine:
     def _device_query(self, texts, k: int):
         from modular_rag_system_tpu.index import DeviceIndex
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+        from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
-        if not (
-            isinstance(self.encoder, MiniLMEncoder)
-            and isinstance(self.index, DeviceIndex)
+        sharded = isinstance(self.index, ShardedIndex)
+        if not isinstance(self.encoder, MiniLMEncoder):
+            return None
+        if sharded:
+            if self.index.tier not in ("exact", "fused", "bf16", "int8"):
+                return None
+        elif not (
+            isinstance(self.index, DeviceIndex)
             and self.index.tier in ("exact", "fused", "bf16")
         ):
             return None
@@ -268,49 +274,64 @@ class RAGEngine:
         Qp = 1
         while Qp < Q:
             Qp <<= 1
+        if sharded:
+            Qp = max(Qp, self.index.query_pad_multiple())
         if Qp != Q:
             ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
             mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
         tier = self.index.tier
-        key = (Qp, k, tier, self.index.capacity)
+        key = (Qp, k, tier, self.index.capacity, sharded)
         fn = self._fused_query_cache.get(key)
         if fn is None:
             module = self.encoder.module
-            block_rows = min(self.index.block_rows, self.index.capacity)
+            if sharded:
+                inner = self.index.search_fn(Qp, k)
 
-            def program(params, E, count, ids, mask):
-                q = module.apply({"params": params}, ids, mask)
-                if tier == "exact":
-                    from modular_rag_system_tpu.ops.exact import exact_topk_raw
+                def program(params, E, scales, count, ids, mask):
+                    q = module.apply({"params": params}, ids, mask)
+                    return inner(E, scales, count, q)
 
-                    return exact_topk_raw(E, count, q, k)
-                from modular_rag_system_tpu.ops.fused_topk import (
-                    _use_interpret,
-                    fused_topk_raw,
-                )
+            else:
+                block_rows = min(self.index.block_rows, self.index.capacity)
 
-                qp = q
-                if qp.shape[0] % 8:
-                    qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))
-                vals, rid = fused_topk_raw(
-                    E, count, qp, k, block_rows, _use_interpret()
-                )
-                return vals[: q.shape[0]], rid[: q.shape[0]]
+                def program(params, E, scales, count, ids, mask):
+                    del scales
+                    q = module.apply({"params": params}, ids, mask)
+                    if tier == "exact":
+                        from modular_rag_system_tpu.ops.exact import exact_topk_raw
+
+                        return exact_topk_raw(E, count, q, k)
+                    from modular_rag_system_tpu.ops.fused_topk import (
+                        _use_interpret,
+                        fused_topk_raw,
+                    )
+
+                    qp = q
+                    if qp.shape[0] % 8:
+                        qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))
+                    vals, rid = fused_topk_raw(
+                        E, count, qp, k, block_rows, _use_interpret()
+                    )
+                    return vals[: q.shape[0]], rid[: q.shape[0]]
 
             fn = jax.jit(program)
             self._fused_query_cache[key] = fn
-        E_in = self.index.E
-        if tier == "bf16":
-            self.index._search_bf16  # ensure attr exists
-            if self.index._quant_dirty or self.index._E_bf16 is None:
-                self.index._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(
-                    self.index.E
-                )
-                self.index._quant_dirty = False
-            E_in = self.index._E_bf16
+        if sharded:
+            E_in, sc_in = self.index.search_inputs()
+        else:
+            sc_in = jnp.zeros((1, 1), jnp.float32)
+            E_in = self.index.E
+            if tier == "bf16":
+                if self.index._quant_dirty or self.index._E_bf16 is None:
+                    self.index._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(
+                        self.index.E
+                    )
+                    self.index._quant_dirty = False
+                E_in = self.index._E_bf16
         q_emb_scores, rows = fn(
             self.encoder.params,
             E_in,
+            sc_in,
             jnp.int32(self.index.count),
             jnp.asarray(ids),
             jnp.asarray(mask),

@@ -206,6 +206,42 @@ class ShardedIndex:
         )
         return jax.jit(fn)
 
+    def query_pad_multiple(self) -> int:
+        """Sublane multiple queries must pad to for the current tier."""
+        return 16 if self.tier == "int8" else 8
+
+    def search_inputs(self):
+        """(E_in, sc_in) for the current tier, refreshing lazy copies.
+
+        Exposed so the engine's fused encode+search program can feed the
+        same shard_map search this class uses."""
+        if self.tier == "int8":
+            self._refresh_quant()
+            return self._E_q, self._scales
+        if self.tier == "bf16":
+            if self._quant_dirty or self._E_bf16 is None:
+                self._E_bf16 = jax.jit(
+                    lambda e: e.astype(jnp.bfloat16),
+                    out_shardings=self._row_sharding,
+                )(self.E)
+                self._quant_dirty = False
+        if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
+            self._dummy_scales = jax.device_put(
+                jnp.zeros((self.S, self.cap_s), jnp.float32),
+                self._scale_sharding,
+            )
+        E_in = self._E_bf16 if self.tier == "bf16" else self.E
+        return E_in, self._dummy_scales
+
+    def search_fn(self, Qp: int, k: int):
+        """Cached jitted shard_map search for padded query rows Qp."""
+        key = (Qp, k, self.tier, self.cap_s)
+        fn = self._search_cache.get(key)
+        if fn is None:
+            fn = self._build_search(Qp, k)
+            self._search_cache[key] = fn
+        return fn
+
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         Q = q.shape[0]
         if self.count == 0:
@@ -214,40 +250,13 @@ class ShardedIndex:
                 np.full((Q, k), -1, np.int32),
             )
         k_eff = min(k, self.count, self.cap_s)
-        sub = 16 if self.tier == "int8" else 8
-        Qp = _round_up(Q, sub)
+        Qp = _round_up(Q, self.query_pad_multiple())
         qj = jnp.asarray(q, jnp.float32)
         if Qp != Q:
             qj = jnp.pad(qj, ((0, Qp - Q), (0, 0)))
         with self._lock:
-            if self.tier == "int8":
-                self._refresh_quant()
-                E_in, sc_in = self._E_q, self._scales
-            elif self.tier == "bf16":
-                if self._quant_dirty or self._E_bf16 is None:
-                    self._E_bf16 = jax.jit(
-                        lambda e: e.astype(jnp.bfloat16),
-                        out_shardings=self._row_sharding,
-                    )(self.E)
-                    self._quant_dirty = False
-                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
-                    self._dummy_scales = jax.device_put(
-                        jnp.zeros((self.S, self.cap_s), jnp.float32),
-                        self._scale_sharding,
-                    )
-                E_in, sc_in = self._E_bf16, self._dummy_scales
-            else:
-                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
-                    self._dummy_scales = jax.device_put(
-                        jnp.zeros((self.S, self.cap_s), jnp.float32),
-                        self._scale_sharding,
-                    )
-                E_in, sc_in = self.E, self._dummy_scales
-            key = (Qp, k_eff, self.tier, self.cap_s)
-            fn = self._search_cache.get(key)
-            if fn is None:
-                fn = self._build_search(Qp, k_eff)
-                self._search_cache[key] = fn
+            E_in, sc_in = self.search_inputs()
+            fn = self.search_fn(Qp, k_eff)
             # int8 raw expects scales as (1, cap_s) inside the shard --
             # the P(axis, None) block IS (1, cap_s) after shard_map splits
             vals, gids = fn(E_in, sc_in, jnp.int32(self.count), qj)

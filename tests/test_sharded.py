@@ -155,3 +155,31 @@ def test_sharded_bf16_tier(rng, mesh8):
     _, xr = sharded.search(q, 10)
     recall = np.mean([len(set(sr[i]) & set(xr[i])) / 10 for i in range(4)])
     assert recall >= 0.95, recall
+
+
+def test_sharded_fused_query_program(rng, mesh8, tmp_path):
+    """Engine composes encode + sharded search + merge into one jit."""
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.engine import RAGEngine
+    from modular_rag_system_tpu.types import Document
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "dim": 64, "max_seq_len": 32,
+                      "batch_size": 8, "num_layers": 2, "num_heads": 4,
+                      "mlp_dim": 128, "vocab_size": 1000, "dtype": "float32"},
+        "store": {"storage_path": str(tmp_path / "s")},
+        "index": {"tier": "fused", "block_rows": 256},
+        "mesh": {"index_shards": 8},
+        "retrieval": {"similarity_threshold": 0.0},
+    })
+    eng = RAGEngine(cfg)
+    eng.add_documents([Document(content=f"sharded fused doc {i} alpha") for i in range(50)])
+    res = eng.query("sharded fused doc 7 alpha", max_results=3)
+    assert res.documents
+    assert any(key[4] for key in eng._fused_query_cache), "sharded fused program unused"
+    # parity with explicit two-step path
+    q_emb = np.asarray(eng.encoder.encode_queries(["sharded fused doc 7 alpha"]))
+    _, rows2 = eng.index.search(q_emb, 6)
+    fused = eng._device_query(["sharded fused doc 7 alpha"], 6)
+    np.testing.assert_array_equal(fused[1][0], rows2[0])
+    eng.shutdown()
