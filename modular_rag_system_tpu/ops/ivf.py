@@ -38,25 +38,40 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+_QUERY_BLOCK = 8  # bounds the gather to (block * nprobe * bucket_cap, d)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search_jit(E, centroids, bucket_ids, q, k: int, nprobe: int):
-    """q (Q, d) -> (vals (Q, k), rows (Q, k))."""
-    C, cap = bucket_ids.shape
-    # coarse quantizer
-    cscores = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(cscores, nprobe)  # (Q, P)
-    rids = bucket_ids[probes]  # (Q, P, cap)
-    Qn = q.shape[0]
-    rids = rids.reshape(Qn, nprobe * cap)
-    rows = E[jnp.maximum(rids, 0)]  # (Q, P*cap, d); padded ids read row 0
-    scores = jnp.einsum(
-        "qd,qnd->qn", q, rows, preferred_element_type=jnp.float32
-    )
-    scores = jnp.where(rids >= 0, scores, -jnp.inf)
-    vals, pos = jax.lax.top_k(scores, k)
-    sel = jnp.take_along_axis(rids, pos, axis=1)
-    sel = jnp.where(jnp.isfinite(vals), sel, -1)
-    return vals, sel.astype(jnp.int32)
+    """q (Q, d) -> (vals (Q, k), rows (Q, k)).
+
+    Queries are processed in blocks of ``_QUERY_BLOCK`` via ``lax.map``:
+    the fine-stage gather materializes (block * nprobe * bucket_cap, d)
+    rows, and with skewed cluster sizes an unblocked gather at large Q
+    exceeds HBM (observed: 12 GB at Q=64, nprobe=16, cap=8192, 4M rows).
+    """
+    Qn, d = q.shape
+    nb = (Qn + _QUERY_BLOCK - 1) // _QUERY_BLOCK
+    pad = nb * _QUERY_BLOCK - Qn
+    q_p = jnp.pad(q, ((0, pad), (0, 0))).reshape(nb, _QUERY_BLOCK, d)
+
+    def block(qb):
+        cscores = jnp.dot(qb, centroids.T, preferred_element_type=jnp.float32)
+        _, probes = jax.lax.top_k(cscores, nprobe)  # (B, P)
+        rids = bucket_ids[probes]  # (B, P, cap)
+        B = qb.shape[0]
+        rids = rids.reshape(B, -1)
+        rows = E[jnp.maximum(rids, 0)]  # padded ids read row 0
+        scores = jnp.einsum(
+            "qd,qnd->qn", qb, rows, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(rids >= 0, scores, -jnp.inf)
+        vals, pos = jax.lax.top_k(scores, k)
+        sel = jnp.take_along_axis(rids, pos, axis=1)
+        return vals, jnp.where(jnp.isfinite(vals), sel, -1).astype(jnp.int32)
+
+    vals, sel = jax.lax.map(block, q_p)
+    return vals.reshape(-1, k)[:Qn], sel.reshape(-1, k)[:Qn]
 
 
 class IVFIndex:

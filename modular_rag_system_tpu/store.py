@@ -60,6 +60,10 @@ class DocumentStore:
         self._lock = threading.RLock()
         self._conn = sqlite3.connect(str(self.db_path), check_same_thread=False)
         self._conn.execute("PRAGMA journal_mode=WAL")
+        # NORMAL is durable enough under WAL and avoids an fsync per
+        # commit — the per-query access_count bump was costing ~80 ms p50
+        # with FULL synchronous
+        self._conn.execute("PRAGMA synchronous=NORMAL")
         self._conn.executescript(_SCHEMA)
         self._conn.commit()
 
