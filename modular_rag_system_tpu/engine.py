@@ -23,6 +23,7 @@ export (``:852-869``), graceful shutdown (``:871-877``).
 from __future__ import annotations
 
 import re
+import threading
 import time
 from collections import Counter, deque
 from pathlib import Path
@@ -94,6 +95,9 @@ class RAGEngine:
         # dispatch per query batch instead of two (the ~1 ms relay
         # round-trip dominates single-query latency otherwise)
         self._fused_query_cache: Dict = {}
+        # store.upsert + index.add must be atomic together: interleaved
+        # writers would desynchronize store rows from index rows
+        self._write_lock = threading.RLock()
         self._restore()
 
     # ------------------------------------------------------------------
@@ -149,6 +153,10 @@ class RAGEngine:
             mat = self._encode([d.content for d in need])
             for d, e in zip(need, mat):
                 d.embedding = e
+        with self._write_lock:
+            return self._place_documents(docs)
+
+    def _place_documents(self, docs: Sequence[Document]) -> List[str]:
         placements = self.store.upsert_batch(docs)
         new_embeddings = [
             np.asarray(d.embedding, dtype=np.float32)
