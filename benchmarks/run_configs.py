@@ -113,6 +113,9 @@ def config2_ingest_100k(scale):
              for i in range(n_chunks)]
     from modular_rag_system_tpu.types import Document
 
+    # warm the encoder's full-batch shape so the reported rate is the
+    # steady-state pipeline, not one-time jit compiles
+    eng.encoder.encode(texts[: cfg.embedding.batch_size])
     t0 = time.perf_counter()
     eng.add_documents([Document(content=t) for t in texts])
     ingest_s = time.perf_counter() - t0

@@ -100,8 +100,14 @@ class IVFIndex:
             # ~sqrt(N) clusters, at least 8, at most count
             n_clusters = int(max(8, min(count, round(count ** 0.5))))
         n_clusters = min(n_clusters, max(count, 1))
-        E_host_rows = np.asarray(E[:count]) if count else np.zeros((1, E.shape[1]), np.float32)
-        init = init_centroids_from_rows(E_host_rows, count, n_clusters)
+        # gather ONLY the seed rows on device (pulling E[:count] to host
+        # copies the whole multi-GB corpus for a few thousand seeds)
+        if count:
+            seed_idx = np.linspace(0, count - 1, n_clusters).astype(np.int64)
+            seed_rows = np.asarray(E[jnp.asarray(seed_idx)])
+        else:
+            seed_rows = np.zeros((1, E.shape[1]), np.float32)
+        init = init_centroids_from_rows(seed_rows, len(seed_rows), n_clusters)
         centroids, labels = kmeans_fit(
             E, jnp.int32(count), jnp.asarray(init), iters=iters, batch=seed_batch
         )
