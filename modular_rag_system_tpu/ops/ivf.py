@@ -112,16 +112,43 @@ class IVFIndex:
             E, jnp.int32(count), jnp.asarray(init), iters=iters, batch=seed_batch
         )
         labels = np.asarray(labels)[:count]
-        # host-side bucketization into a padded row-id table
+        # Cap bucket size at ~fill_factor x the mean: k-means skew otherwise
+        # inflates the padded table (and every probe's gather) to the
+        # largest cluster.  Overflow rows are greedily reassigned to their
+        # next-best centroid with space (scores computed on device for the
+        # overflow rows only).
+        fill_factor = 4
+        bucket_cap = max(
+            8, _next_pow2(int(np.ceil(fill_factor * max(count, 1) / n_clusters)))
+        )
         order = np.argsort(labels, kind="stable")
         sorted_labels = labels[order]
         counts = np.bincount(sorted_labels[sorted_labels >= 0], minlength=n_clusters)
-        bucket_cap = max(int(_next_pow2(int(counts.max()))) if count else 1, 8)
         bucket_ids = np.full((n_clusters, bucket_cap), -1, dtype=np.int32)
+        fill = np.zeros(n_clusters, dtype=np.int64)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        overflow: list = []
         for c in range(n_clusters):
             members = order[starts[c] : starts[c] + counts[c]]
-            bucket_ids[c, : counts[c]] = members
+            keep = members[:bucket_cap]
+            bucket_ids[c, : len(keep)] = keep
+            fill[c] = len(keep)
+            overflow.extend(members[bucket_cap:])
+        if overflow:
+            ov = np.asarray(overflow, dtype=np.int64)
+            scores = np.asarray(
+                jnp.dot(E[jnp.asarray(ov)], centroids.T,
+                        preferred_element_type=jnp.float32)
+            )
+            pref = np.argsort(-scores, axis=1)
+            for row, choices in zip(ov, pref):
+                for c in choices:
+                    if fill[c] < bucket_cap:
+                        bucket_ids[c, fill[c]] = row
+                        fill[c] += 1
+                        break
+                else:  # pragma: no cover - total slots >= fill_factor * N
+                    raise RuntimeError("IVF bucket table full")
         return cls(E, centroids, jnp.asarray(bucket_ids), count, nprobe)
 
     # ------------------------------------------------------------------

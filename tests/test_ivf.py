@@ -119,3 +119,30 @@ def test_ivf_bucket_padding(rng):
     # all live rows appear exactly once; padding is -1
     members = b[b >= 0]
     assert sorted(members.tolist()) == list(range(100))
+
+
+def test_ivf_bucket_cap_bounds_skew(rng):
+    """Adversarial skew: most rows near one center. The padded table must
+    stay bounded and every row must appear exactly once."""
+    import jax.numpy as jnp
+
+    d = 32
+    hot = normalized(rng, 1, d)
+    rest = normalized(rng, 8, d)
+    E = np.concatenate([
+        (hot + 0.01 * rng.standard_normal((900, d))).astype(np.float32),
+        (rest[rng.integers(0, 8, 100)] + 0.01 * rng.standard_normal((100, d))).astype(np.float32),
+    ])
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    ivf = IVFIndex.build(jnp.asarray(E), 1000, n_clusters=16, iters=6)
+    b = np.asarray(ivf.bucket_ids)
+    # cap = pow2(ceil(4 * 1000 / 16)) = 256, NOT the 900-row hot cluster
+    assert ivf.bucket_cap <= 256
+    members = b[b >= 0]
+    assert sorted(members.tolist()) == list(range(1000))
+    # displaced rows are still findable with a broad probe
+    q = jnp.asarray(E[:5])
+    _, got = ivf.search(q, 5, nprobe=16)
+    got = np.asarray(got)
+    for i in range(5):
+        assert i in got[i]  # self-retrieval survives rebalancing
