@@ -288,21 +288,26 @@ class RAGEngine:
             ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
             mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
         tier = self.index.tier
-        key = (Qp, k, tier, self.index.capacity, sharded)
+        # params are CLOSED OVER (device constants), not passed per call:
+        # marshalling ~100 parameter buffers through the device relay per
+        # query dominated single-query latency. sync_encoder()-style param
+        # swaps must invalidate via the id() check below.
+        params = self.encoder.params
+        key = (Qp, k, tier, self.index.capacity, sharded, id(params))
         fn = self._fused_query_cache.get(key)
         if fn is None:
             module = self.encoder.module
             if sharded:
                 inner = self.index.search_fn(Qp, k)
 
-                def program(params, E, scales, count, ids, mask):
+                def program(E, scales, count, ids, mask):
                     q = module.apply({"params": params}, ids, mask)
                     return inner(E, scales, count, q)
 
             else:
                 block_rows = min(self.index.block_rows, self.index.capacity)
 
-                def program(params, E, scales, count, ids, mask):
+                def program(E, scales, count, ids, mask):
                     del scales
                     q = module.apply({"params": params}, ids, mask)
                     if tier == "exact":
@@ -322,7 +327,17 @@ class RAGEngine:
                     )
                     return vals[: q.shape[0]], rid[: q.shape[0]]
 
-            fn = jax.jit(program)
+            def packed(E, scales, count, ids, mask):
+                vals, rid = program(E, scales, count, ids, mask)
+                # pack (scores f32, rows i32-bitcast-f32) into ONE output:
+                # every device->host fetch is a full relay round trip, so
+                # two fetches double single-query latency
+                return jnp.concatenate(
+                    [vals, jax.lax.bitcast_convert_type(rid, jnp.float32)],
+                    axis=1,
+                )
+
+            fn = jax.jit(packed)
             self._fused_query_cache[key] = fn
         if sharded:
             E_in, sc_in = self.index.search_inputs()
@@ -336,15 +351,18 @@ class RAGEngine:
                     )
                     self.index._quant_dirty = False
                 E_in = self.index._E_bf16
-        q_emb_scores, rows = fn(
-            self.encoder.params,
-            E_in,
-            sc_in,
-            jnp.int32(self.index.count),
-            jnp.asarray(ids),
-            jnp.asarray(mask),
+        out = np.asarray(
+            fn(
+                E_in,
+                sc_in,
+                jnp.int32(self.index.count),
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+            )
         )
-        return np.asarray(q_emb_scores)[:Q], np.asarray(rows)[:Q]
+        scores = out[:Q, :k]
+        rows = out[:Q, k:].view(np.int32)
+        return scores, rows
 
     def _retrieve(self, q: Query) -> RetrievalResult:
         if self.index.count == 0:
