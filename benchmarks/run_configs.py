@@ -269,6 +269,8 @@ def config5_sharded_e2e(scale):
         for i in range(n_docs)
     ])
     # end-to-end single-query latency: encode -> sharded search -> store
+    for i in range(3):  # warm the single-query program (compile excluded)
+        eng.query(f"tokens t{i % 503}", max_results=5)
     lat = []
     for i in range(40):
         t0 = time.perf_counter()
