@@ -58,6 +58,10 @@ class IndexConfig:
     initial_capacity: int = 4096
     # fused-kernel tile along the corpus axis
     block_rows: int = 1024
+    # optional per-tile bin-max reduction width for the fused kernels
+    # (multiple of 128): ~bin_width x less selection work at recall@10
+    # ~0.998; None = exact selection
+    fused_bin_width: Optional[int] = None
     # IVF parameters
     ivf_clusters: int = 256
     ivf_nprobe: int = 8

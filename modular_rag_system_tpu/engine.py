@@ -71,6 +71,7 @@ class RAGEngine:
                 capacity=self.config.index.initial_capacity,
                 tier=self.config.index.tier,
                 block_rows=self.config.index.block_rows,
+                fused_bin_width=self.config.index.fused_bin_width,
             )
         else:
             self.index = DeviceIndex(
@@ -81,6 +82,7 @@ class RAGEngine:
                 ivf_clusters=self.config.index.ivf_clusters,
                 ivf_nprobe=self.config.index.ivf_nprobe,
                 ivf_iters=self.config.index.ivf_iters,
+                fused_bin_width=self.config.index.fused_bin_width,
             )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size
@@ -323,7 +325,8 @@ class RAGEngine:
                     if qp.shape[0] % 8:
                         qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))
                     vals, rid = fused_topk_raw(
-                        E, count, qp, k, block_rows, _use_interpret()
+                        E, count, qp, k, block_rows, _use_interpret(),
+                        bin_width=self.index.fused_bin_width,
                     )
                     return vals[: q.shape[0]], rid[: q.shape[0]]
 

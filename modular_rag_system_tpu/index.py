@@ -44,10 +44,12 @@ class DeviceIndex:
         ivf_clusters: Optional[int] = None,
         ivf_nprobe: int = 8,
         ivf_iters: int = 10,
+        fused_bin_width: Optional[int] = None,
     ) -> None:
         self.dim = dim
         self.tier = tier
         self.block_rows = block_rows
+        self.fused_bin_width = fused_bin_width
         self.ivf_clusters = ivf_clusters
         self.ivf_nprobe = ivf_nprobe
         self.ivf_iters = ivf_iters
@@ -142,7 +144,9 @@ class DeviceIndex:
     def _search_fused(self, qj, k):
         from modular_rag_system_tpu.ops.fused_topk import fused_topk
 
-        return fused_topk(self.E, jnp.int32(self.count), qj, k, block_rows=self.block_rows)
+        return fused_topk(self.E, jnp.int32(self.count), qj, k,
+                          block_rows=self.block_rows,
+                          bin_width=self.fused_bin_width)
 
     def _search_bf16(self, qj, k):
         """bf16 index tier: half the HBM traffic of f32 at recall ~= 1."""
@@ -152,7 +156,8 @@ class DeviceIndex:
             self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
             self._quant_dirty = False
         return fused_topk(
-            self._E_bf16, jnp.int32(self.count), qj, k, block_rows=self.block_rows
+            self._E_bf16, jnp.int32(self.count), qj, k,
+            block_rows=self.block_rows, bin_width=self.fused_bin_width,
         )
 
     def _search_int8(self, qj, k):
@@ -164,7 +169,7 @@ class DeviceIndex:
             self._quant_dirty = False
         return fused_topk_int8(
             self._E_q, self._scales, jnp.int32(self.count), qj, k,
-            block_rows=self.block_rows,
+            block_rows=self.block_rows, bin_width=self.fused_bin_width,
         )
 
     def _search_ivf(self, qj, k):

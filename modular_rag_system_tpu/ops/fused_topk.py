@@ -75,13 +75,33 @@ def _select_topk(aug_scores, aug_ids, k: int):
     )
 
 
+def _bin_reduce(scores, gids, bin_width):
+    """Optional per-tile candidate reduction: max over bins of
+    ``bin_width`` lanes (must be a multiple of 128 — Mosaic only supports
+    lane-preserving shape casts).  Cuts the K-step selection width by
+    ``bin_width``x at a tiny recall cost (two true top-k rows in the SAME
+    bin of the SAME tile shadow each other): measured recall@10 = 0.9977
+    on 1M random rows at bin_width=256, +44% QPS.  ``None`` = exact."""
+    if bin_width is None:
+        return scores, gids
+    Q, B = scores.shape
+    nb = B // bin_width
+    s3 = scores.reshape(Q, nb, bin_width)
+    cand = jnp.max(s3, axis=2)
+    g3 = gids.reshape(Q, nb, bin_width)
+    cand_ids = jnp.min(
+        jnp.where(s3 == cand[:, :, None], g3, _BIG_I32), axis=2
+    )
+    return cand, cand_ids
+
+
 # public alias: the same exact selection is reused for the cross-shard
 # top-k merge (parallel/sharded.py) — identical tie-breaking everywhere.
 def select_topk(scores, ids, k: int):
     return _select_topk(scores, ids, k)
 
 
-def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids, *, k: int, block_rows: int):
+def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids, *, k: int, block_rows: int, bin_width):
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -110,6 +130,7 @@ def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids,
     # lax.cond, and a rolled fori_loop selection; all three hang the
     # Mosaic compiler on this toolchain.  The unconditional unrolled
     # selection below is the known-good formulation.
+    scores, gids = _bin_reduce(scores, gids, bin_width)
     aug_scores = jnp.concatenate([run_vals[:], scores], axis=1)
     aug_ids = jnp.concatenate([run_ids[:], gids], axis=1)
     vals, ids = _select_topk(aug_scores, aug_ids, k)
@@ -122,7 +143,7 @@ def _fused_kernel(count_ref, q_ref, e_ref, vals_ref, ids_ref, run_vals, run_ids,
         ids_ref[:] = run_ids[:]
 
 
-def fused_topk_raw(E, count, q, k: int, block_rows: int, interpret: bool):
+def fused_topk_raw(E, count, q, k: int, block_rows: int, interpret: bool, bin_width=None):
     """Traceable (non-jit) fused top-k for composition inside jit/shard_map.
 
     ``q`` rows must already be padded to a sublane multiple of 8 and
@@ -131,7 +152,8 @@ def fused_topk_raw(E, count, q, k: int, block_rows: int, interpret: bool):
     cap, d = E.shape
     Q = q.shape[0]
     grid = cap // block_rows
-    kernel = functools.partial(_fused_kernel, k=k, block_rows=block_rows)
+    _check_bin_width(bin_width, block_rows)
+    kernel = functools.partial(_fused_kernel, k=k, block_rows=block_rows, bin_width=bin_width)
     vals, ids = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -162,12 +184,22 @@ def fused_topk_raw(E, count, q, k: int, block_rows: int, interpret: bool):
     return vals, ids
 
 
+def _check_bin_width(bin_width, block_rows):
+    if bin_width is None:
+        return
+    if bin_width % 128 or block_rows % bin_width:
+        raise ValueError(
+            f"bin_width must be a multiple of 128 dividing block_rows "
+            f"({block_rows}); got {bin_width}"
+        )
+
+
 _fused_topk_jit = jax.jit(
-    fused_topk_raw, static_argnames=("k", "block_rows", "interpret")
+    fused_topk_raw, static_argnames=("k", "block_rows", "interpret", "bin_width")
 )
 
 
-def fused_topk(E, count, q, k: int, block_rows: int = 1024):
+def fused_topk(E, count, q, k: int, block_rows: int = 1024, bin_width=None):
     """Fused exact top-k over the live prefix of E.
 
     Args mirror ``ops.exact.exact_topk``; q rows are padded to the f32
@@ -182,7 +214,8 @@ def fused_topk(E, count, q, k: int, block_rows: int = 1024):
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
     vals, ids = _fused_topk_jit(
-        E, jnp.asarray(count, jnp.int32), q, k, block_rows, _use_interpret()
+        E, jnp.asarray(count, jnp.int32), q, k, block_rows, _use_interpret(),
+        bin_width,
     )
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals[:Q], ids[:Q]
@@ -203,7 +236,7 @@ def _max_block_rows(d: int, dtype) -> int:
 
 # ---------------------------------------------------------------------------
 # int8 variant: per-row-quantized index
-def _fused_kernel_int8(count_ref, q_ref, e_ref, scale_ref, vals_ref, ids_ref, run_vals, run_ids, *, k: int, block_rows: int):
+def _fused_kernel_int8(count_ref, q_ref, e_ref, scale_ref, vals_ref, ids_ref, run_vals, run_ids, *, k: int, block_rows: int, bin_width):
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -240,6 +273,7 @@ def _fused_kernel_int8(count_ref, q_ref, e_ref, scale_ref, vals_ref, ids_ref, ru
     # lax.cond, and a rolled fori_loop selection; all three hang the
     # Mosaic compiler on this toolchain.  The unconditional unrolled
     # selection below is the known-good formulation.
+    scores, gids = _bin_reduce(scores, gids, bin_width)
     aug_scores = jnp.concatenate([run_vals[:], scores], axis=1)
     aug_ids = jnp.concatenate([run_ids[:], gids], axis=1)
     vals, ids = _select_topk(aug_scores, aug_ids, k)
@@ -252,7 +286,7 @@ def _fused_kernel_int8(count_ref, q_ref, e_ref, scale_ref, vals_ref, ids_ref, ru
         ids_ref[:] = run_ids[:]
 
 
-def fused_topk_int8_raw(E_q, scales_lanes, count, q, k: int, block_rows: int, interpret: bool):
+def fused_topk_int8_raw(E_q, scales_lanes, count, q, k: int, block_rows: int, interpret: bool, bin_width=None):
     """Traceable int8 fused top-k (see ``fused_topk_raw``); ``scales_lanes``
 
     is the lane-packed (1, capacity) f32 scale row."""
@@ -260,7 +294,8 @@ def fused_topk_int8_raw(E_q, scales_lanes, count, q, k: int, block_rows: int, in
     Q = q.shape[0]
     grid = cap // block_rows
     q_bf16 = q.astype(jnp.bfloat16)
-    kernel = functools.partial(_fused_kernel_int8, k=k, block_rows=block_rows)
+    _check_bin_width(bin_width, block_rows)
+    kernel = functools.partial(_fused_kernel_int8, k=k, block_rows=block_rows, bin_width=bin_width)
     vals, ids = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -293,11 +328,11 @@ def fused_topk_int8_raw(E_q, scales_lanes, count, q, k: int, block_rows: int, in
 
 
 _fused_topk_int8_jit = jax.jit(
-    fused_topk_int8_raw, static_argnames=("k", "block_rows", "interpret")
+    fused_topk_int8_raw, static_argnames=("k", "block_rows", "interpret", "bin_width")
 )
 
 
-def fused_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 1024):
+def fused_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 1024, bin_width=None):
     """int8-index fused top-k.
 
     ``E_q`` (capacity, d) int8 with per-row ``scales`` (capacity, 1) f32
@@ -316,7 +351,7 @@ def fused_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 1024):
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
     vals, ids = _fused_topk_int8_jit(
         E_q, scales.reshape(1, cap), jnp.asarray(count, jnp.int32), q, k,
-        block_rows, _use_interpret(),
+        block_rows, _use_interpret(), bin_width,
     )
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals[:Q], ids[:Q]

@@ -59,6 +59,7 @@ class ShardedIndex:
         tier: str = "exact",
         block_rows: int = 1024,
         axis: str = "index",
+        fused_bin_width=None,
     ) -> None:
         self.dim = dim
         self.tier = tier
@@ -66,6 +67,7 @@ class ShardedIndex:
         self.mesh = mesh if mesh is not None else make_index_mesh(axis=axis)
         self.S = self.mesh.devices.size
         self.block_rows = block_rows
+        self.fused_bin_width = fused_bin_width
         self.cap_s = max(_next_pow2((capacity + self.S - 1) // self.S), block_rows)
         self.count = 0
         self._lock = threading.RLock()
@@ -164,6 +166,7 @@ class ShardedIndex:
         """One jitted shard_map program: local top-k + all_gather merge."""
         S, axis, tier = self.S, self.axis, self.tier
         cap_s, block_rows = self.cap_s, min(self.block_rows, self.cap_s)
+        bin_width = self.fused_bin_width
         interpret = _use_interpret()
 
         def local_and_merge(E_s, scales_s, count, q):
@@ -178,11 +181,13 @@ class ShardedIndex:
                 loc = loc.astype(jnp.int32)
             elif tier in ("fused", "bf16"):
                 vals, loc = fused_topk_raw(
-                    E_s, count_s, q, k, block_rows, interpret
+                    E_s, count_s, q, k, block_rows, interpret,
+                    bin_width=bin_width,
                 )
             elif tier == "int8":
                 vals, loc = fused_topk_int8_raw(
-                    E_s, scales_s, count_s, q, k, block_rows, interpret
+                    E_s, scales_s, count_s, q, k, block_rows, interpret,
+                    bin_width=bin_width,
                 )
             else:
                 raise ValueError(f"unknown tier {tier!r}")
