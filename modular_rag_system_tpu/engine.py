@@ -478,6 +478,8 @@ class RAGEngine:
             "summary": summary,
             "documents": [d.to_dict() for d in docs],
             "similarities": res.similarities,
+            "retrieval_time": res.retrieval_time,
+            "total_documents_searched": res.total_documents_searched,
             "temporal_span_days": span_days,
             "source_distribution": source_dist,
             "peak_hours": peak_hours,

@@ -168,7 +168,7 @@ class RAGQueryProcessor:
         insight = self._synthesize(query, qtype, rag, enhanced, ai_text)
         # 5. confidence + follow-ups
         confidence = self._confidence(qtype, rag, ai_text)
-        follow_ups = self._follow_ups(query, qtype)
+        follow_ups = self._follow_ups(query, qtype, rag)
         sources = [
             {
                 "id": d.id,
@@ -237,10 +237,20 @@ class RAGQueryProcessor:
         return round(min(score, 1.0), 3)
 
     @staticmethod
-    def _follow_ups(query: str, qtype: str) -> List[str]:
+    def _follow_ups(query: str, qtype: str, rag: Optional[RetrievalResult] = None) -> List[str]:
         words = [w for w in query.split() if len(w) > 3]
         topic = " ".join(words[:3]) if words else query
-        return [t.format(topic=topic) for t in _FOLLOW_UPS.get(qtype, [])][:3]
+        ups = [t.format(topic=topic) for t in _FOLLOW_UPS.get(qtype, [])]
+        # recency-aware follow-up (reference rag_query_interface.py:~440:
+        # most-recent hit < 24 h / < 1 week steers the suggestion)
+        if rag is not None and rag.documents:
+            newest = max(d.timestamp for d in rag.documents)
+            age_h = (time.time() - newest) / 3600.0
+            if age_h < 24:
+                ups.append("What has changed since I last worked on this today?")
+            elif age_h < 168:
+                ups.append("How has my approach evolved this week?")
+        return ups[:4]
 
     # ------------------------------------------------------------------
     def get_stats(self) -> Dict[str, Any]:
