@@ -126,6 +126,10 @@ class MeshConfig:
     # number of index shards; 1 = single chip (degenerate mesh, same code
     # path as v5e-8 per SURVEY §7 step 6)
     index_shards: int = 1
+    # >1 lays the shards out on a 2-D (slice, chip) mesh and uses the
+    # hierarchical merge: ICI within a slice, only k candidates per
+    # slice across DCN. index_shards must divide by dcn_slices.
+    dcn_slices: int = 1
     # axis names used across the framework
     index_axis: str = "index"
     data_axis: str = "data"

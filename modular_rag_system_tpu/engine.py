@@ -60,14 +60,29 @@ class RAGEngine:
         )
         self.store = DocumentStore(self.config.store.storage_path)
         if self.config.mesh.index_shards > 1:
-            from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+            from modular_rag_system_tpu.parallel.mesh import (
+                make_hierarchical_index_mesh,
+                make_index_mesh,
+            )
             from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
+            if self.config.mesh.dcn_slices > 1:
+                n_slices = self.config.mesh.dcn_slices
+                if self.config.mesh.index_shards % n_slices:
+                    raise ValueError(
+                        f"index_shards ({self.config.mesh.index_shards}) must "
+                        f"divide by dcn_slices ({n_slices})"
+                    )
+                mesh = make_hierarchical_index_mesh(
+                    n_slices, self.config.mesh.index_shards // n_slices
+                )
+            else:
+                mesh = make_index_mesh(
+                    self.config.mesh.index_shards, axis=self.config.mesh.index_axis
+                )
             self.index = ShardedIndex(
                 dim=self.config.embedding.dim,
-                mesh=make_index_mesh(
-                    self.config.mesh.index_shards, axis=self.config.mesh.index_axis
-                ),
+                mesh=mesh,
                 capacity=self.config.index.initial_capacity,
                 tier=self.config.index.tier,
                 block_rows=self.config.index.block_rows,

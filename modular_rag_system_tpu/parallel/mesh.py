@@ -42,6 +42,30 @@ def make_index_mesh(
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def make_hierarchical_index_mesh(
+    n_slices: int,
+    chips_per_slice: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+    dcn_axis: str = "dcn",
+    ici_axis: str = "ici",
+) -> Mesh:
+    """2-D (slice, chip) mesh for multi-slice deployments.
+
+    Index rows shard over BOTH axes; the top-k merge is hierarchical:
+    chips within a slice merge over ICI first, then only k candidates
+    per slice cross the (much slower) DCN axis.  On single-slice
+    hardware / the CPU test mesh the axes are logical, but the merge
+    structure — and its DCN traffic bound of k x n_slices — is the one
+    a real multi-slice pod uses.
+    """
+    devices = list(devices if devices is not None else default_devices())
+    need = n_slices * chips_per_slice
+    if need > len(devices):
+        raise ValueError(f"mesh {n_slices}x{chips_per_slice} > {len(devices)} devices")
+    arr = np.array(devices[:need]).reshape(n_slices, chips_per_slice)
+    return Mesh(arr, (dcn_axis, ici_axis))
+
+
 def make_train_mesh(
     data: int,
     model: int = 1,

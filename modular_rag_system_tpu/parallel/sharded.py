@@ -58,11 +58,16 @@ class ShardedIndex:
         capacity: int = 4096,
         tier: str = "exact",
         block_rows: int = 1024,
-        axis: str = "index",
+        axis="index",
         fused_bin_width=None,
     ) -> None:
+        """``axis`` may be a single mesh-axis name (flat ICI merge) or a
+        (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
+        on a 2-D multi-slice mesh (``make_hierarchical_index_mesh``)."""
         self.dim = dim
         self.tier = tier
+        if mesh is not None and len(mesh.axis_names) == 2 and not isinstance(axis, tuple):
+            axis = tuple(mesh.axis_names)
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_index_mesh(axis=axis)
         self.S = self.mesh.devices.size
@@ -169,9 +174,18 @@ class ShardedIndex:
         bin_width = self.fused_bin_width
         interpret = _use_interpret()
 
+        hierarchical = isinstance(axis, tuple)
+
+        def _shard_id():
+            if hierarchical:
+                dcn_ax, ici_ax = axis
+                ici_size = self.mesh.shape[ici_ax]
+                return jax.lax.axis_index(dcn_ax) * ici_size + jax.lax.axis_index(ici_ax)
+            return jax.lax.axis_index(axis)
+
         def local_and_merge(E_s, scales_s, count, q):
             E_s = E_s[0]  # (cap_s, d)
-            s = jax.lax.axis_index(axis)
+            s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
             if tier == "exact":
                 scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
@@ -193,14 +207,25 @@ class ShardedIndex:
                 raise ValueError(f"unknown tier {tier!r}")
             gids = loc * S + s
             gids = jnp.where(jnp.isfinite(vals), gids, np.int32(2**31 - 1))
-            # ICI merge: k*S candidates per query
-            all_vals = jax.lax.all_gather(vals, axis)  # (S, Qp, k)
-            all_gids = jax.lax.all_gather(gids, axis)
-            Qp_ = all_vals.shape[1]
-            cand_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(Qp_, S * k)
-            cand_g = jnp.transpose(all_gids, (1, 0, 2)).reshape(Qp_, S * k)
-            return select_topk(cand_v, cand_g, k)
 
+            def gather_merge(v, g, ax):
+                av = jax.lax.all_gather(v, ax)  # (n_ax, Qp, k)
+                ag = jax.lax.all_gather(g, ax)
+                n_ax, Qp_, _ = av.shape
+                cv = jnp.transpose(av, (1, 0, 2)).reshape(Qp_, n_ax * k)
+                cg = jnp.transpose(ag, (1, 0, 2)).reshape(Qp_, n_ax * k)
+                return select_topk(cv, cg, k)
+
+            if hierarchical:
+                dcn_ax, ici_ax = axis
+                # stage 1: merge chips within the slice over ICI
+                vals, gids = gather_merge(vals, gids, ici_ax)
+                # stage 2: only k candidates per slice cross DCN
+                return gather_merge(vals, gids, dcn_ax)
+            return gather_merge(vals, gids, axis)
+
+        # tuple axis shards dim 0 over both mesh axes -> per-shard block
+        # is (1, cap_s, d) in both the flat and hierarchical cases
         in_specs = (P(axis, None, None), P(axis, None), P(), P())
         fn = jax.shard_map(
             local_and_merge,

@@ -183,3 +183,37 @@ def test_sharded_fused_query_program(rng, mesh8, tmp_path):
     fused = eng._device_query(["sharded fused doc 7 alpha"], 6)
     np.testing.assert_array_equal(fused[1][0], rows2[0])
     eng.shutdown()
+
+
+def test_hierarchical_two_stage_merge(rng):
+    """2-D (dcn, ici) mesh: per-slice ICI merge then DCN merge — results
+    identical to the flat 8-shard and single-device paths."""
+    from modular_rag_system_tpu.parallel.mesh import make_hierarchical_index_mesh
+
+    E = normalized(rng, 4000, 64)
+    q = normalized(rng, 5, 64)
+    single = DeviceIndex(dim=64, tier="exact")
+    single.add(E)
+    _, ref = single.search(q, 10)
+    for shape in ((2, 4), (4, 2)):
+        mesh2d = make_hierarchical_index_mesh(*shape, devices=cpu_mesh_devices(8))
+        idx = ShardedIndex(dim=64, mesh=mesh2d, tier="exact", block_rows=256)
+        assert idx.axis == ("dcn", "ici")
+        idx.add(E)
+        _, got = idx.search(q, 10)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_hierarchical_fused_tier(rng):
+    from modular_rag_system_tpu.parallel.mesh import make_hierarchical_index_mesh
+
+    mesh2d = make_hierarchical_index_mesh(2, 4, devices=cpu_mesh_devices(8))
+    E = normalized(rng, 4096, 128)
+    q = normalized(rng, 4, 128)
+    idx = ShardedIndex(dim=128, mesh=mesh2d, tier="fused", block_rows=128)
+    idx.add(E)
+    single = DeviceIndex(dim=128, tier="exact")
+    single.add(E)
+    _, ref = single.search(q, 10)
+    _, got = idx.search(q, 10)
+    np.testing.assert_array_equal(got, ref)
