@@ -37,6 +37,7 @@ from modular_rag_system_tpu.index import DeviceIndex
 from modular_rag_system_tpu.models import build_encoder
 from modular_rag_system_tpu.store import DocumentStore
 from modular_rag_system_tpu.types import Document, Query, RetrievalResult, as_matrix
+from modular_rag_system_tpu.utils.resilience import retry_transient
 
 _STOPWORDS = frozenset(
     """a an and are as at be by for from has he in is it its of on that the to was
@@ -151,7 +152,10 @@ class RAGEngine:
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
         bs = self.config.embedding.batch_size
         mats = [
-            np.asarray(self.encoder.encode(texts[i : i + bs]))
+            retry_transient(
+                lambda i=i: np.asarray(self.encoder.encode(texts[i : i + bs])),
+                what="encoder forward",
+            )
             for i in range(0, len(texts), bs)
         ]
         return (
@@ -387,7 +391,9 @@ class RAGEngine:
             return RetrievalResult([], [], None, 0.0, 0)
         overfetch = self.config.index.overfetch if (q.source_filters or q.metadata_filters) else 2
         k = min(max(q.max_results * overfetch, q.max_results), self.index.count)
-        fused = self._device_query([q.text], k)
+        fused = retry_transient(
+            lambda: self._device_query([q.text], k), what="fused query"
+        )
         if fused is not None:
             scores, rows = fused
             scores, rows = scores[0], rows[0]

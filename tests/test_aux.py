@@ -186,3 +186,34 @@ def test_ollama_encoder_roundtrip_with_fake_server(fake_config, tmp_path):
         np.testing.assert_array_equal(enc.encode(["hello"])[0], emb[0])
     finally:
         srv.shutdown()
+
+
+def test_retry_transient_semantics():
+    from modular_rag_system_tpu.utils.resilience import is_transient, retry_transient
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("INTERNAL: http://x/remote_compile: HTTP 500")
+        return "ok"
+
+    assert retry_transient(flaky, retries=3, base_delay_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    def permanent():
+        raise RuntimeError("Ran out of memory in memory space hbm")
+
+    with pytest.raises(RuntimeError, match="Ran out of memory"):
+        retry_transient(permanent, retries=5, base_delay_s=0.0)
+
+    def exhausts():
+        raise RuntimeError("UNAVAILABLE: Socket closed")
+
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        retry_transient(exhausts, retries=1, base_delay_s=0.0)
+
+    assert is_transient(RuntimeError("remote_compile: HTTP 500"))
+    assert not is_transient(RuntimeError("INVALID_ARGUMENT: bad shape"))
+    assert not is_transient(ValueError("unrelated"))
