@@ -132,13 +132,23 @@ class RAGEngine:
                 if emb.shape[0]:
                     self.index.add(emb)
         if self.index.count < n_store:
-            # embed missing rows from the store
-            missing: List[Document] = []
-            for row, doc in self.store.iter_all():
+            # Rebuild missing rows POSITIONALLY, including tombstones:
+            # skipping deleted rows would shift every later embedding and
+            # desynchronize store rows from index rows.  Deleted rows get
+            # zero vectors (dead, exactly as delete_rows leaves them).
+            missing: List[Optional[Document]] = []
+            for row, doc in self.store.iter_all(include_deleted=True):
                 if row >= self.index.count:
                     missing.append(doc)
             if missing:
-                mat = self._encode([d.content for d in missing])
+                live_texts = [d.content for d in missing if d is not None]
+                live_mat = self._encode(live_texts)
+                mat = np.zeros((len(missing), self.index.dim), np.float32)
+                li = 0
+                for i, d in enumerate(missing):
+                    if d is not None:
+                        mat[i] = live_mat[li]
+                        li += 1
                 self.index.add(mat)
         deleted = self.store.deleted_rows()
         if deleted.size:
@@ -181,17 +191,29 @@ class RAGEngine:
         placements = self.store.upsert_batch(docs)
         new_embeddings = [
             np.asarray(d.embedding, dtype=np.float32)
-            for d, (_row, is_new) in zip(docs, placements)
-            if is_new
+            for d, (_row, status) in zip(docs, placements)
+            if status == "new"
         ]
         if new_embeddings:
-            first_new = min(r for r, is_new in placements if is_new)
+            first_new = min(r for r, status in placements if status == "new")
             if first_new != self.index.count:
                 raise RuntimeError(
                     f"store/index row drift: store row {first_new}, "
                     f"index count {self.index.count}"
                 )
             self.index.add(as_matrix(new_embeddings, self.index.dim))
+        # re-ingest of previously deleted docs: their index rows were
+        # zeroed by delete_rows, so write the fresh embeddings back
+        res_rows = [r for (r, status), _d in zip(placements, docs)
+                    if status == "resurrected"]
+        if res_rows:
+            res_mat = as_matrix(
+                [np.asarray(d.embedding, dtype=np.float32)
+                 for (_r, status), d in zip(placements, docs)
+                 if status == "resurrected"],
+                self.index.dim,
+            )
+            self.index.set_rows(np.asarray(res_rows, dtype=np.int64), res_mat)
         self.query_stats["total_documents_added"] += len(new_embeddings)
         return [d.id for d in docs]
 
@@ -305,6 +327,7 @@ class RAGEngine:
             Qp <<= 1
         if sharded:
             Qp = max(Qp, self.index.query_pad_multiple())
+            k = min(k, self.index.cap_s)
         if Qp != Q:
             ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
             mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
@@ -317,6 +340,12 @@ class RAGEngine:
         key = (Qp, k, tier, self.index.capacity, sharded, id(params))
         fn = self._fused_query_cache.get(key)
         if fn is None:
+            # evict programs compiled against superseded params: their
+            # closures pin a full model copy each, and their id-keyed
+            # entries can never be hit again after sync_encoder()
+            stale = [kk for kk in self._fused_query_cache if kk[5] != id(params)]
+            for kk in stale:
+                del self._fused_query_cache[kk]
             module = self.encoder.module
             if sharded:
                 inner = self.index.search_fn(Qp, k)
@@ -525,6 +554,10 @@ class RAGEngine:
         rebuild the device index from the surviving embeddings.  Returns
         the number of rows reclaimed.  (The reference accumulated deleted
         data forever; its cleanup was a no-op stub.)"""
+        with self._write_lock:
+            return self._compact_locked()
+
+    def _compact_locked(self) -> int:
         before = self.index.count
         # snapshot live embeddings in OLD row order
         self.index.snapshot(str(self._snapshot_path))
@@ -541,6 +574,7 @@ class RAGEngine:
                 capacity=max(len(live_old), 4096),
                 tier=self.index.tier,
                 block_rows=self.index.block_rows,
+                fused_bin_width=self.index.fused_bin_width,
             )
         else:
             self.index = DeviceIndex(
@@ -551,9 +585,11 @@ class RAGEngine:
                 ivf_clusters=self.index.ivf_clusters,
                 ivf_nprobe=self.index.ivf_nprobe,
                 ivf_iters=self.index.ivf_iters,
+                fused_bin_width=self.index.fused_bin_width,
             )
         if len(live_old):
             self.index.add(live_emb)
+        self._fused_query_cache.clear()  # capacity changed
         self.save()
         return before - self.index.count
 

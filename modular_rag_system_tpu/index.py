@@ -107,6 +107,19 @@ class DeviceIndex:
             self._quant_dirty = True
             self._ivf = None
 
+    def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
+        """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
+        if len(rows) == 0:
+            return
+        with self._lock:
+            self.E = exact_ops.set_rows(
+                self.E,
+                jnp.asarray(rows, dtype=jnp.int32),
+                jnp.asarray(mat, dtype=jnp.float32),
+            )
+            self._quant_dirty = True
+            self._ivf = None
+
     # ------------------------------------------------------------------
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k rows for (Q, d) queries. Returns (scores, rows) as numpy."""

@@ -149,7 +149,13 @@ class KeystrokeCapture:
             try:
                 ev = self._queue.get(timeout=1.0)
             except queue.Empty:
-                self._flush(force=True)  # idle -> close out the session
+                # close out the buffered session only after the REAL
+                # session timeout — flushing on every 1 s queue idle
+                # fragmented normal typing pauses into micro-sessions
+                with self._lock:
+                    idle = time.time() - self._last_event_ts
+                    if self._buffer and idle > self.session_timeout_s:
+                        self._flush(force=True)
                 continue
             self._handle_event(ev)
 

@@ -89,8 +89,18 @@ class PrivacyFilter:
             return f"[REDACTED_{i}]"
 
         out = text
-        for pat in _SENSITIVE_PATTERNS.values():
-            out = pat.sub(repl, out)
+        for name, pat in _SENSITIVE_PATTERNS.items():
+            if name == "phone":
+                # same >=7-digit guard as is_sensitive_content: short
+                # numbers (order ids, dates) must not be redacted
+                out = pat.sub(
+                    lambda m: repl(m)
+                    if sum(ch.isdigit() for ch in m.group()) >= 7
+                    else m.group(),
+                    out,
+                )
+            else:
+                out = pat.sub(repl, out)
         return out
 
     # ------------------------------------------------------------------

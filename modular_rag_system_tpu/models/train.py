@@ -158,10 +158,14 @@ class ContrastiveTrainer:
             raise ValueError("queries and positives must align")
         n_data = self.mesh.shape[self.data_axis]
         if len(queries) % n_data:
-            # pad the batch to a multiple of the data axis by repeating
-            pad = n_data - len(queries) % n_data
-            queries = list(queries) + list(queries[:pad])
-            positives = list(positives) + list(positives[:pad])
+            # pad to a multiple of the data axis by cycling the batch
+            # (a single slice can fall short when the batch is smaller
+            # than the pad); padded rows duplicate (q, p) PAIRS so their
+            # InfoNCE labels stay self-consistent
+            target = -(-len(queries) // n_data) * n_data
+            src_q, src_p = list(queries), list(positives)
+            queries = [src_q[i % len(src_q)] for i in range(target)]
+            positives = [src_p[i % len(src_p)] for i in range(target)]
         q_ids, q_mask = self._tokenize(queries)
         p_ids, p_mask = self._tokenize(positives)
         q_ids = jax.device_put(q_ids, self._batch_sharding)

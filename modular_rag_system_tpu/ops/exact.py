@@ -51,6 +51,12 @@ def append_rows(E: jax.Array, batch: jax.Array, count: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def set_rows(E: jax.Array, rows: jax.Array, mat: jax.Array) -> jax.Array:
+    """Overwrite specific rows (resurrecting tombstoned docs)."""
+    return E.at[rows].set(mat)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def zero_rows(E: jax.Array, rows: jax.Array) -> jax.Array:
     """Zero out deleted rows (they then score 0.0 and are also filtered
 

@@ -64,6 +64,11 @@ class ShardedIndex:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
         on a 2-D multi-slice mesh (``make_hierarchical_index_mesh``)."""
+        if tier not in ("exact", "fused", "bf16", "int8"):
+            raise ValueError(
+                f"ShardedIndex does not support tier {tier!r} "
+                f"(choose exact/fused/bf16/int8; ivf is single-device only)"
+            )
         self.dim = dim
         self.tier = tier
         if mesh is not None and len(mesh.axis_names) == 2 and not isinstance(axis, tuple):
@@ -144,6 +149,20 @@ class ShardedIndex:
                 jnp.asarray(s_idx, jnp.int32),
                 jnp.asarray(j_idx, jnp.int32),
                 zeros,
+            )
+            self._quant_dirty = True
+
+    def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
+        """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
+        if len(rows) == 0:
+            return
+        with self._lock:
+            s_idx, j_idx = self._phys_pos(np.asarray(rows))
+            self.E = _scatter_rows(
+                self.E,
+                jnp.asarray(s_idx, jnp.int32),
+                jnp.asarray(j_idx, jnp.int32),
+                jnp.asarray(mat, jnp.float32),
             )
             self._quant_dirty = True
 

@@ -68,20 +68,24 @@ class DocumentStore:
         self._conn.commit()
 
     # ------------------------------------------------------------------
-    def upsert_batch(self, docs: Sequence[Document]) -> List[Tuple[int, bool]]:
-        """Insert documents; returns [(row_idx, is_new)] per doc.
+    def upsert_batch(self, docs: Sequence[Document]) -> List[Tuple[int, str]]:
+        """Insert documents; returns [(row_idx, status)] per doc.
 
         Existing ids (same content+source hash) keep their row and get
         their metadata/timestamp refreshed — idempotent re-ingest.
+
+        Returns [(row_idx, status)] where status is "new", "existing" or
+        "resurrected" (a previously tombstoned doc brought back: the
+        caller must restore its zeroed index row).
         """
-        out: List[Tuple[int, bool]] = []
+        out: List[Tuple[int, str]] = []
         with self._lock:
             cur = self._conn.cursor()
             r = cur.execute("SELECT MAX(row_idx) FROM documents").fetchone()[0]
             next_row = 0 if r is None else int(r) + 1
             for d in docs:
                 row = cur.execute(
-                    "SELECT row_idx FROM documents WHERE id = ?", (d.id,)
+                    "SELECT row_idx, deleted FROM documents WHERE id = ?", (d.id,)
                 ).fetchone()
                 if row is not None:
                     cur.execute(
@@ -89,7 +93,9 @@ class DocumentStore:
                         "importance = ?, deleted = 0 WHERE id = ?",
                         (json.dumps(d.metadata), d.timestamp, d.importance, d.id),
                     )
-                    out.append((int(row[0]), False))
+                    out.append(
+                        (int(row[0]), "resurrected" if row[1] else "existing")
+                    )
                 else:
                     cur.execute(
                         "INSERT INTO documents "
@@ -106,7 +112,7 @@ class DocumentStore:
                             json.dumps(d.metadata),
                         ),
                     )
-                    out.append((next_row, True))
+                    out.append((next_row, "new"))
                     next_row += 1
             self._conn.commit()
         return out
@@ -182,21 +188,29 @@ class DocumentStore:
             r = self._conn.execute("SELECT MAX(row_idx) FROM documents").fetchone()[0]
         return -1 if r is None else int(r)
 
-    def iter_all(self, batch: int = 4096) -> Iterable[Tuple[int, Document]]:
-        """Yield (row_idx, doc) for all live docs, for index rebuild."""
+    def iter_all(
+        self, batch: int = 4096, include_deleted: bool = False
+    ) -> Iterable[Tuple[int, Optional[Document]]]:
+        """Yield (row_idx, doc) in dense row order, for index rebuild.
+
+        With ``include_deleted`` tombstoned rows are yielded as
+        ``(row_idx, None)`` so callers can keep index rows positionally
+        aligned (restore MUST use this: skipping deleted rows would shift
+        every later embedding by one)."""
         last = -1
+        cond = "" if include_deleted else "AND deleted = 0"
         while True:
             with self._lock:
                 rows = self._conn.execute(
-                    "SELECT row_idx, id, content, content_type, source, timestamp, "
-                    "importance, access_count, deleted, metadata FROM documents "
-                    "WHERE row_idx > ? AND deleted = 0 ORDER BY row_idx LIMIT ?",
+                    f"SELECT row_idx, id, content, content_type, source, timestamp, "
+                    f"importance, access_count, deleted, metadata FROM documents "
+                    f"WHERE row_idx > ? {cond} ORDER BY row_idx LIMIT ?",
                     (last, batch),
                 ).fetchall()
             if not rows:
                 return
             for r in rows:
-                yield int(r[0]), self._to_doc(r)
+                yield int(r[0]), (None if r[8] else self._to_doc(r))
             last = int(rows[-1][0])
 
     # ------------------------------------------------------------------

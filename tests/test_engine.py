@@ -247,3 +247,54 @@ def test_concurrent_writers_and_readers(fake_config):
     doc = eng.store.get_by_rows([77], bump_access=False)[0]
     res = eng.query(doc.content, max_results=1)
     assert res.documents[0].id == doc.id
+
+
+def test_reingest_of_deleted_doc_is_searchable_again(fake_config):
+    """Review finding: resurrection must restore the zeroed index row."""
+    eng = RAGEngine(fake_config)
+    doc = Document(content="the resurrected unique document text")
+    eng.add_documents([doc, Document(content="other doc")])
+    eng.store.delete_ids([doc.id])
+    eng.index.delete_rows(np.array([0]))
+    res = eng.query("resurrected unique document", max_results=2,
+                    similarity_threshold=0.3)
+    assert all(d.id != doc.id for d in res.documents)
+    # re-ingest: must come back searchable
+    eng.add_documents([Document(content="the resurrected unique document text")])
+    res = eng.query("resurrected unique document", max_results=1,
+                    similarity_threshold=0.3)
+    assert res.documents and res.documents[0].id == doc.id
+
+
+def test_restore_alignment_with_tombstones_beyond_snapshot(fake_config):
+    """Review finding: crash recovery must keep rows positionally aligned
+    when tombstoned rows exist beyond the snapshot."""
+    eng = RAGEngine(fake_config)
+    docs = [Document(content=f"align doc {i} unique u{i}") for i in range(8)]
+    eng.add_documents(docs[:5])
+    eng.save()  # snapshot at count=5
+    eng.add_documents(docs[5:])  # rows 5,6,7 beyond snapshot
+    eng.store.delete_ids([docs[6].id])
+    eng.index.delete_rows(np.array([6]))
+    eng.store.close()  # crash: no snapshot of rows 5-7
+    eng2 = RAGEngine(fake_config)
+    assert eng2.index.count == 8
+    # doc 7 must still be searchable at ITS row (not shifted into row 6)
+    res = eng2.query("align doc 7 unique u7", max_results=1,
+                     similarity_threshold=0.2)
+    assert res.documents and res.documents[0].id == docs[7].id
+    # deleted doc 6 stays dead
+    res6 = eng2.query("align doc 6 unique u6", max_results=3,
+                      similarity_threshold=0.0)
+    assert all(d.id != docs[6].id for d in res6.documents)
+    # and ingest continues without row-drift errors
+    eng2.add_document("post recovery doc")
+    assert eng2.index.count == 9
+
+
+def test_ivf_with_shards_rejected_at_init(fake_config):
+    cfg = fake_config.merged({"index": {"tier": "ivf"}, "mesh": {"index_shards": 8}})
+    import pytest
+
+    with pytest.raises(ValueError, match="ivf"):
+        RAGEngine(cfg)

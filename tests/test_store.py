@@ -16,7 +16,7 @@ def test_upsert_assigns_dense_rows(tmp_storage):
     s = DocumentStore(tmp_storage)
     placements = s.upsert_batch(mkdocs(5))
     assert [r for r, _ in placements] == [0, 1, 2, 3, 4]
-    assert all(is_new for _, is_new in placements)
+    assert all(status == "new" for _, status in placements)
     assert s.count() == 5
 
 
@@ -25,7 +25,7 @@ def test_upsert_idempotent(tmp_storage):
     first = s.upsert_batch(mkdocs(3))
     again = s.upsert_batch(mkdocs(3))
     assert [r for r, _ in first] == [r for r, _ in again]
-    assert all(not is_new for _, is_new in again)
+    assert all(status == "existing" for _, status in again)
     assert s.count() == 3
 
 
@@ -96,3 +96,25 @@ def test_stats_and_export(tmp_storage, tmp_path):
     with gzip.open(out, "rt") as f:
         payload = json.load(f)
     assert len(payload["recent_documents"]) == 3
+
+
+def test_upsert_reports_resurrection(tmp_storage):
+    s = DocumentStore(tmp_storage)
+    docs = mkdocs(2)
+    s.upsert_batch(docs)
+    s.delete_ids([docs[0].id])
+    statuses = s.upsert_batch(docs)
+    assert statuses[0][1] == "resurrected"
+    assert statuses[1][1] == "existing"
+    assert s.get_by_id(docs[0].id) is not None
+
+
+def test_iter_all_include_deleted_positional(tmp_storage):
+    s = DocumentStore(tmp_storage)
+    docs = mkdocs(4)
+    s.upsert_batch(docs)
+    s.delete_ids([docs[1].id])
+    rows = list(s.iter_all(include_deleted=True))
+    assert [r for r, _ in rows] == [0, 1, 2, 3]
+    assert rows[1][1] is None  # tombstone kept positionally
+    assert rows[2][1].content == "doc number 2"
