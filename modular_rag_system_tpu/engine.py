@@ -406,7 +406,7 @@ class RAGEngine:
             fn(
                 E_in,
                 sc_in,
-                jnp.int32(self.index.count),
+                self.index.count_device(),
                 jnp.asarray(ids),
                 jnp.asarray(mask),
             )

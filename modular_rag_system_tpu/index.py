@@ -61,6 +61,7 @@ class DeviceIndex:
         self._E_q: Optional[jax.Array] = None  # (capacity, d) int8
         self._scales: Optional[jax.Array] = None  # (capacity,) f32
         self._E_bf16: Optional[jax.Array] = None  # (capacity, d) bf16
+        self._count_dev: Optional[jax.Array] = None  # cached device scalar
         self._quant_dirty = True
         # ivf tier state
         self._ivf = None
@@ -84,6 +85,7 @@ class DeviceIndex:
             buf[:n] = mat
             self.E = exact_ops.append_rows(self.E, jnp.asarray(buf), jnp.int32(self.count))
             self.count += n
+            self._count_dev = None
             self._quant_dirty = True
             self._ivf = None
             return first, n
@@ -106,6 +108,13 @@ class DeviceIndex:
             self.E = exact_ops.zero_rows(self.E, jnp.asarray(rows, dtype=jnp.int32))
             self._quant_dirty = True
             self._ivf = None
+
+    def count_device(self) -> jax.Array:
+        """Device-resident count scalar, cached: creating it per search
+        cost a host->device transfer (~0.5 ms over the relay) per query."""
+        if self._count_dev is None:
+            self._count_dev = jnp.int32(self.count)
+        return self._count_dev
 
     def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
@@ -133,7 +142,7 @@ class DeviceIndex:
         qj = jnp.asarray(q, dtype=jnp.float32)
         with self._lock:
             if self.tier == "exact":
-                scores, rows = exact_ops.exact_topk(self.E, jnp.int32(self.count), qj, k_eff)
+                scores, rows = exact_ops.exact_topk(self.E, self.count_device(), qj, k_eff)
             elif self.tier == "int8":
                 scores, rows = self._search_int8(qj, k_eff)
             elif self.tier == "fused":
@@ -157,7 +166,7 @@ class DeviceIndex:
     def _search_fused(self, qj, k):
         from modular_rag_system_tpu.ops.fused_topk import fused_topk
 
-        return fused_topk(self.E, jnp.int32(self.count), qj, k,
+        return fused_topk(self.E, self.count_device(), qj, k,
                           block_rows=self.block_rows,
                           bin_width=self.fused_bin_width)
 
@@ -169,7 +178,7 @@ class DeviceIndex:
             self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
             self._quant_dirty = False
         return fused_topk(
-            self._E_bf16, jnp.int32(self.count), qj, k,
+            self._E_bf16, self.count_device(), qj, k,
             block_rows=self.block_rows, bin_width=self.fused_bin_width,
         )
 
@@ -181,7 +190,7 @@ class DeviceIndex:
             self._E_q, self._scales = quantize_rows(self.E)
             self._quant_dirty = False
         return fused_topk_int8(
-            self._E_q, self._scales, jnp.int32(self.count), qj, k,
+            self._E_q, self._scales, self.count_device(), qj, k,
             block_rows=self.block_rows, bin_width=self.fused_bin_width,
         )
 

@@ -92,6 +92,7 @@ class ShardedIndex:
         self._quant_dirty = True
         self._search_cache: Dict[Tuple, callable] = {}
         self._dummy_scales = None
+        self._count_dev = None
 
     # ------------------------------------------------------------------
     @property
@@ -120,6 +121,7 @@ class ShardedIndex:
                 jnp.asarray(mat, jnp.float32),
             )
             self.count += n
+            self._count_dev = None
             self._quant_dirty = True
             return first, n
 
@@ -255,6 +257,13 @@ class ShardedIndex:
         )
         return jax.jit(fn)
 
+    def count_device(self):
+        """Cached device count scalar (a fresh one costs a host->device
+        transfer per query over the relay)."""
+        if self._count_dev is None:
+            self._count_dev = jnp.int32(self.count)
+        return self._count_dev
+
     def query_pad_multiple(self) -> int:
         """Sublane multiple queries must pad to for the current tier."""
         return 16 if self.tier == "int8" else 8
@@ -308,7 +317,7 @@ class ShardedIndex:
             fn = self.search_fn(Qp, k_eff)
             # int8 raw expects scales as (1, cap_s) inside the shard --
             # the P(axis, None) block IS (1, cap_s) after shard_map splits
-            vals, gids = fn(E_in, sc_in, jnp.int32(self.count), qj)
+            vals, gids = fn(E_in, sc_in, self.count_device(), qj)
         vals = np.asarray(vals)[:Q]
         gids = np.asarray(gids)[:Q]
         gids = np.where(np.isfinite(vals), gids, -1)
