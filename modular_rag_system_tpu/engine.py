@@ -593,6 +593,59 @@ class RAGEngine:
         self.save()
         return before - self.index.count
 
+    def reembed_all(self) -> int:
+        """Re-encode every live document with the CURRENT encoder weights
+
+        and rebuild the index.  Required after fine-tuning publishes new
+        encoder params (``ContrastiveTrainer.sync_encoder``): old rows
+        were embedded in the old space and would no longer be comparable
+        to freshly encoded queries.  Returns the number of rows rebuilt.
+        """
+        with self._write_lock:
+            rows: List[int] = []
+            texts: List[str] = []
+            tombstones: List[int] = []
+            for row, doc in self.store.iter_all(include_deleted=True):
+                if doc is None:
+                    tombstones.append(row)
+                else:
+                    rows.append(row)
+                    texts.append(doc.content)
+            n_total = (max(rows + tombstones) + 1) if (rows or tombstones) else 0
+            if n_total == 0:
+                return 0
+            live_mat = self._encode(texts)
+            mat = np.zeros((n_total, self.index.dim), np.float32)
+            mat[np.asarray(rows, dtype=np.int64)] = live_mat
+            if hasattr(self.index, "mesh"):
+                from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+
+                self.index = ShardedIndex(
+                    dim=self.index.dim,
+                    mesh=self.index.mesh,
+                    capacity=max(n_total, 4096),
+                    tier=self.index.tier,
+                    block_rows=self.index.block_rows,
+                    fused_bin_width=self.index.fused_bin_width,
+                )
+            else:
+                self.index = DeviceIndex(
+                    dim=self.index.dim,
+                    capacity=max(n_total, 4096),
+                    tier=self.index.tier,
+                    block_rows=self.index.block_rows,
+                    ivf_clusters=self.index.ivf_clusters,
+                    ivf_nprobe=self.index.ivf_nprobe,
+                    ivf_iters=self.index.ivf_iters,
+                    fused_bin_width=self.index.fused_bin_width,
+                )
+            self.index.add(mat)
+            if tombstones:
+                self.index.delete_rows(np.asarray(tombstones, dtype=np.int64))
+            self._fused_query_cache.clear()
+            self.save()
+            return len(rows)
+
     def get_system_stats(self) -> Dict[str, Any]:
         return {
             "query_stats": dict(self.query_stats),

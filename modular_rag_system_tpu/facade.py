@@ -90,6 +90,7 @@ class EnhancedRAGSystem:
             cache_max=self.config.serving.response_cache_max,
         )
         self.keystrokes: Optional[KeystrokeCapture] = None
+        self._training_pairs: List = []
         self.batcher = None
         if capture_batch_size > 1:
             from modular_rag_system_tpu.pipeline import MicroBatcher
@@ -230,8 +231,63 @@ class EnhancedRAGSystem:
     def add_context_switch(self, from_app: str, to_app: str) -> None:
         self.predictor.record_context_switch(from_app, to_app)
 
-    def record_feedback(self, query: str, feedback_type: str) -> None:
+    def record_feedback(
+        self, query: str, feedback_type: str, matched_content: Optional[str] = None
+    ) -> None:
+        """Record feedback; positive/followed feedback with the matched
+
+        document content also becomes a (query, positive) training pair
+        for ``fine_tune_from_feedback``."""
         self.learner.record_feedback(query, feedback_type)
+        if matched_content and feedback_type in ("positive", "followed"):
+            self._training_pairs.append((query, matched_content))
+
+    # ------------------------------------------------------------------
+    # closing the loop: feedback -> fine-tune -> refresh the index
+    def fine_tune_from_feedback(
+        self,
+        steps: int = 20,
+        learning_rate: float = 1e-5,
+        min_pairs: int = 4,
+        extra_pairs: Optional[List] = None,
+    ) -> Optional[Dict[str, Any]]:
+        """Fine-tune the serving encoder on accumulated positive-feedback
+
+        (query, document) pairs, publish the weights, and re-embed the
+        whole corpus so stored vectors stay in the new embedding space.
+        A capability with no reference analog: its embedders were frozen.
+        Returns training metrics, or None when too few pairs exist or the
+        encoder isn't trainable (fake/ollama backends)."""
+        from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+
+        pairs = list(self._training_pairs) + list(extra_pairs or [])
+        if len(pairs) < min_pairs or not isinstance(self.engine.encoder, MiniLMEncoder):
+            return None
+        from modular_rag_system_tpu.models.train import ContrastiveTrainer
+        from modular_rag_system_tpu.parallel.mesh import default_devices, make_train_mesh
+
+        devices = default_devices()
+        n = len(devices)
+        model_par = 2 if n % 2 == 0 and n > 1 else 1
+        mesh = make_train_mesh(n // model_par, model_par, devices=devices)
+        trainer = ContrastiveTrainer(
+            self.engine.encoder, mesh, learning_rate=learning_rate
+        )
+        qs = [q for q, _ in pairs]
+        ps = [p for _, p in pairs]
+        loss = acc = 0.0
+        for _ in range(steps):
+            loss, acc = trainer.step(qs, ps)
+        trainer.sync_encoder()
+        rebuilt = self.engine.reembed_all()
+        self._training_pairs.clear()
+        return {
+            "pairs": len(pairs),
+            "steps": steps,
+            "final_loss": float(loss),
+            "final_in_batch_acc": float(acc),
+            "rows_reembedded": rebuilt,
+        }
 
     # ------------------------------------------------------------------
     def get_system_stats(self) -> Dict[str, Any]:

@@ -1,6 +1,8 @@
 """Facade (both API families) + launcher CLI."""
 
 import json
+
+import numpy as np
 import urllib.request
 
 import pytest
@@ -170,4 +172,49 @@ def test_http_query_api(fake_config):
             assert e.code == 400
     finally:
         srv.stop()
+        s.shutdown()
+
+
+def test_fine_tune_from_feedback_loop(tmp_storage):
+    """Close the loop: feedback pairs -> fine-tune -> re-embed -> query."""
+    from modular_rag_system_tpu.config import RAGConfig
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "dim": 64, "max_seq_len": 32,
+                      "batch_size": 8, "num_layers": 2, "num_heads": 4,
+                      "mlp_dim": 128, "vocab_size": 1000, "dtype": "float32"},
+        "store": {"storage_path": tmp_storage},
+        "serving": {"file_server_port": 0},
+        "retrieval": {"similarity_threshold": 0.0},
+    })
+    s = EnhancedRAGSystem(cfg, enable_llm=False)
+    try:
+        contents = [f"knowledge item {i} about subject s{i}" for i in range(6)]
+        for c in contents:
+            s.engine.add_document(c)
+        for i in range(4):
+            s.record_feedback(f"question about subject s{i}",
+                              "positive", matched_content=contents[i])
+        metrics = s.fine_tune_from_feedback(steps=5, min_pairs=4)
+        assert metrics is not None
+        assert metrics["pairs"] == 4
+        assert metrics["rows_reembedded"] == 6
+        assert np.isfinite(metrics["final_loss"])
+        # corpus still fully queryable in the NEW embedding space
+        res = s.engine.query("knowledge item 3 about subject s3", max_results=1)
+        assert res.documents and "item 3" in res.documents[0].content
+        # pairs consumed
+        assert s.fine_tune_from_feedback(min_pairs=4) is None
+    finally:
+        s.shutdown()
+
+
+def test_fine_tune_requires_trainable_encoder(fake_config):
+    s = EnhancedRAGSystem(fake_config.merged({"serving": {"file_server_port": 0}}),
+                          enable_llm=False)
+    try:
+        for i in range(8):
+            s.record_feedback(f"q{i}", "positive", matched_content=f"c{i}")
+        assert s.fine_tune_from_feedback() is None  # fake encoder: no-op
+    finally:
         s.shutdown()
