@@ -160,18 +160,14 @@ class RAGEngine:
     # ------------------------------------------------------------------
     # ingest
     def _encode(self, texts: Sequence[str]) -> np.ndarray:
-        bs = self.config.embedding.batch_size
-        mats = [
-            retry_transient(
-                lambda i=i: np.asarray(self.encoder.encode(texts[i : i + bs])),
-                what="encoder forward",
-            )
-            for i in range(0, len(texts), bs)
-        ]
-        return (
-            np.concatenate(mats, axis=0)
-            if mats
-            else np.zeros((0, self.index.dim), np.float32)
+        if not texts:
+            return np.zeros((0, self.index.dim), np.float32)
+        # one call: the encoder batches internally AND pipelines all
+        # device dispatches before fetching (per-batch outer calls here
+        # would re-serialize every batch on a host<->device round trip)
+        return retry_transient(
+            lambda: np.asarray(self.encoder.encode(list(texts))),
+            what="encoder forward",
         )
 
     def add_documents(self, docs: Sequence[Document]) -> List[str]:
@@ -179,42 +175,70 @@ class RAGEngine:
         docs = list(docs)
         if not docs:
             return []
-        need = [d for d in docs if d.embedding is None]
-        if need:
-            mat = self._encode([d.content for d in need])
-            for d, e in zip(need, mat):
-                d.embedding = e
-        with self._write_lock:
-            return self._place_documents(docs)
+        emb_dev = None
+        if all(d.embedding is None for d in docs) and hasattr(
+            self.encoder, "encode_device"
+        ):
+            # device-resident bulk path: embeddings never touch the host
+            # (a 100k-chunk ingest otherwise moves the whole matrix
+            # device->host->device through the link twice)
+            import jax
 
-    def _place_documents(self, docs: Sequence[Document]) -> List[str]:
+            emb_dev = retry_transient(
+                lambda: self.encoder.encode_device([d.content for d in docs]),
+                what="encoder forward",
+            )
+        else:
+            need = [d for d in docs if d.embedding is None]
+            if need:
+                mat = self._encode([d.content for d in need])
+                for d, e in zip(need, mat):
+                    d.embedding = e
+        with self._write_lock:
+            return self._place_documents(docs, emb_dev)
+
+    def _place_documents(self, docs: Sequence[Document], emb_dev=None) -> List[str]:
         placements = self.store.upsert_batch(docs)
-        new_embeddings = [
-            np.asarray(d.embedding, dtype=np.float32)
-            for d, (_row, status) in zip(docs, placements)
-            if status == "new"
-        ]
-        if new_embeddings:
-            first_new = min(r for r, status in placements if status == "new")
+        new_pos = [i for i, (_r, status) in enumerate(placements) if status == "new"]
+        if new_pos:
+            first_new = min(placements[i][0] for i in new_pos)
             if first_new != self.index.count:
                 raise RuntimeError(
                     f"store/index row drift: store row {first_new}, "
                     f"index count {self.index.count}"
                 )
-            self.index.add(as_matrix(new_embeddings, self.index.dim))
+            if emb_dev is not None:
+                import jax.numpy as jnp
+
+                new_mat = (
+                    emb_dev
+                    if len(new_pos) == len(docs)
+                    else emb_dev[jnp.asarray(new_pos)]
+                )
+            else:
+                new_mat = as_matrix(
+                    [np.asarray(docs[i].embedding, dtype=np.float32) for i in new_pos],
+                    self.index.dim,
+                )
+            self.index.add(new_mat)
         # re-ingest of previously deleted docs: their index rows were
         # zeroed by delete_rows, so write the fresh embeddings back
-        res_rows = [r for (r, status), _d in zip(placements, docs)
-                    if status == "resurrected"]
-        if res_rows:
-            res_mat = as_matrix(
-                [np.asarray(d.embedding, dtype=np.float32)
-                 for (_r, status), d in zip(placements, docs)
-                 if status == "resurrected"],
-                self.index.dim,
-            )
-            self.index.set_rows(np.asarray(res_rows, dtype=np.int64), res_mat)
-        self.query_stats["total_documents_added"] += len(new_embeddings)
+        res_pos = [
+            i for i, (_r, status) in enumerate(placements) if status == "resurrected"
+        ]
+        if res_pos:
+            res_rows = np.asarray([placements[i][0] for i in res_pos], dtype=np.int64)
+            if emb_dev is not None:
+                import jax.numpy as jnp
+
+                res_mat = np.asarray(emb_dev[jnp.asarray(res_pos)])
+            else:
+                res_mat = as_matrix(
+                    [np.asarray(docs[i].embedding, dtype=np.float32) for i in res_pos],
+                    self.index.dim,
+                )
+            self.index.set_rows(res_rows, res_mat)
+        self.query_stats["total_documents_added"] += len(new_pos)
         return [d.id for d in docs]
 
     def add_document(

@@ -81,9 +81,17 @@ class DeviceIndex:
             padded = _next_pow2(n)
             if self.count + padded > self.capacity:
                 self._ensure_capacity(self.count + padded)
-            buf = np.zeros((padded, self.dim), dtype=np.float32)
-            buf[:n] = mat
-            self.E = exact_ops.append_rows(self.E, jnp.asarray(buf), jnp.int32(self.count))
+            if isinstance(mat, jax.Array):
+                # device-resident ingest path: pad on device, no host copy
+                buf = jnp.zeros((padded, self.dim), jnp.float32)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, mat.astype(jnp.float32), (0, 0)
+                )
+            else:
+                host = np.zeros((padded, self.dim), dtype=np.float32)
+                host[:n] = mat
+                buf = jnp.asarray(host)
+            self.E = exact_ops.append_rows(self.E, buf, jnp.int32(self.count))
             self.count += n
             self._count_dev = None
             self._quant_dirty = True

@@ -143,8 +143,11 @@ class MiniLMEncoder:
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
-        out = np.zeros((len(texts), self.dim), np.float32)
         bs = self.batch_size
+        # dispatch ALL batches before fetching anything: a device->host
+        # fetch per batch serializes the pipeline on the host<->device
+        # round trip (measured ~30x slowdown on a relay-attached chip)
+        pending = []
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             ids, mask = self.tokenizer.encode_batch(chunk)
@@ -154,8 +157,36 @@ class MiniLMEncoder:
                 ids = np.pad(ids, ((0, padded - n), (0, 0)))
                 mask = np.pad(mask, ((0, padded - n), (0, 0)))
             emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            pending.append((i, n, emb))
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, n, emb in pending:
             out[i : i + n] = np.asarray(emb[:n], dtype=np.float32)
         return out
+
+    def encode_device(self, texts: Sequence[str]):
+        """Encode and RETURN A DEVICE ARRAY (N, dim) f32.
+
+        The bulk-ingest path feeds this straight into the device index —
+        materializing embeddings on the host and re-uploading them costs
+        two full corpus transfers through the device link."""
+        import jax
+
+        if not texts:
+            return jnp.zeros((0, self.dim), jnp.float32)
+        bs = self.batch_size
+        parts = []
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i : i + bs])
+            ids, mask = self.tokenizer.encode_batch(chunk)
+            n = len(chunk)
+            padded = min(_next_pow2(n), bs)
+            if padded > n:
+                ids = np.pad(ids, ((0, padded - n), (0, 0)))
+                mask = np.pad(mask, ((0, padded - n), (0, 0)))
+            emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            parts.append(emb[:n])
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return out.astype(jnp.float32)
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         return self.encode(texts)

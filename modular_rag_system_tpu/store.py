@@ -83,24 +83,35 @@ class DocumentStore:
             cur = self._conn.cursor()
             r = cur.execute("SELECT MAX(row_idx) FROM documents").fetchone()[0]
             next_row = 0 if r is None else int(r) + 1
+            # one batched lookup + executemany instead of per-doc
+            # SELECT/INSERT round trips (the loop dominated bulk ingest)
+            existing: Dict[str, Tuple[int, int]] = {}
+            ids = [d.id for d in docs]
+            for i in range(0, len(ids), 500):
+                chunk = ids[i : i + 500]
+                qmarks = ",".join("?" * len(chunk))
+                for rid, ridx, deleted in cur.execute(
+                    f"SELECT id, row_idx, deleted FROM documents "
+                    f"WHERE id IN ({qmarks})",
+                    chunk,
+                ).fetchall():
+                    existing[rid] = (int(ridx), int(deleted))
+            updates = []
+            inserts = []
+            seen_new: Dict[str, int] = {}
             for d in docs:
-                row = cur.execute(
-                    "SELECT row_idx, deleted FROM documents WHERE id = ?", (d.id,)
-                ).fetchone()
-                if row is not None:
-                    cur.execute(
-                        "UPDATE documents SET metadata = ?, timestamp = ?, "
-                        "importance = ?, deleted = 0 WHERE id = ?",
-                        (json.dumps(d.metadata), d.timestamp, d.importance, d.id),
+                hit = existing.get(d.id)
+                if hit is None and d.id in seen_new:
+                    # duplicate within this batch: first occurrence wins
+                    out.append((seen_new[d.id], "existing"))
+                    continue
+                if hit is not None:
+                    updates.append(
+                        (json.dumps(d.metadata), d.timestamp, d.importance, d.id)
                     )
-                    out.append(
-                        (int(row[0]), "resurrected" if row[1] else "existing")
-                    )
+                    out.append((hit[0], "resurrected" if hit[1] else "existing"))
                 else:
-                    cur.execute(
-                        "INSERT INTO documents "
-                        "(row_idx, id, content, content_type, source, timestamp, importance, metadata) "
-                        "VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                    inserts.append(
                         (
                             next_row,
                             d.id,
@@ -110,10 +121,24 @@ class DocumentStore:
                             d.timestamp,
                             d.importance,
                             json.dumps(d.metadata),
-                        ),
+                        )
                     )
+                    seen_new[d.id] = next_row
                     out.append((next_row, "new"))
                     next_row += 1
+            if updates:
+                cur.executemany(
+                    "UPDATE documents SET metadata = ?, timestamp = ?, "
+                    "importance = ?, deleted = 0 WHERE id = ?",
+                    updates,
+                )
+            if inserts:
+                cur.executemany(
+                    "INSERT INTO documents "
+                    "(row_idx, id, content, content_type, source, timestamp, "
+                    "importance, metadata) VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+                    inserts,
+                )
             self._conn.commit()
         return out
 

@@ -118,3 +118,13 @@ def test_iter_all_include_deleted_positional(tmp_storage):
     assert [r for r, _ in rows] == [0, 1, 2, 3]
     assert rows[1][1] is None  # tombstone kept positionally
     assert rows[2][1].content == "doc number 2"
+
+
+def test_upsert_duplicate_ids_within_one_batch(tmp_storage):
+    s = DocumentStore(tmp_storage)
+    d = Document(content="dup content")
+    placements = s.upsert_batch([d, Document(content="dup content"), Document(content="other")])
+    assert placements[0][1] == "new"
+    assert placements[1] == (placements[0][0], "existing")
+    assert placements[2][1] == "new"
+    assert s.count() == 2
