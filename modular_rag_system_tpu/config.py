@@ -58,6 +58,8 @@ class IndexConfig:
     initial_capacity: int = 4096
     # fused-kernel tile along the corpus axis
     block_rows: int = 1024
+    # master matrix dtype: "bfloat16" halves HBM (10M x 384 on one v5e)
+    store_dtype: str = "float32"
     # optional per-tile bin-max reduction width for the fused kernels
     # (multiple of 128): ~bin_width x less selection work at recall@10
     # ~0.998; None = exact selection

@@ -99,6 +99,7 @@ class RAGEngine:
                 ivf_nprobe=self.config.index.ivf_nprobe,
                 ivf_iters=self.config.index.ivf_iters,
                 fused_bin_width=self.config.index.fused_bin_width,
+                store_dtype=self.config.index.store_dtype,
             )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size

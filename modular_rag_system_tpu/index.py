@@ -45,7 +45,12 @@ class DeviceIndex:
         ivf_nprobe: int = 8,
         ivf_iters: int = 10,
         fused_bin_width: Optional[int] = None,
+        store_dtype: str = "float32",
     ) -> None:
+        """``store_dtype="bfloat16"`` halves the master matrix's HBM
+        footprint (10M x 384 fits one v5e chip at 7.7 GB vs 15.4 GB f32);
+        recall@10 vs f32 is ~1.0 and all tiers work unchanged (matmuls
+        upcast per tier rules; the bf16 tier then needs no extra copy)."""
         self.dim = dim
         self.tier = tier
         self.block_rows = block_rows
@@ -53,10 +58,14 @@ class DeviceIndex:
         self.ivf_clusters = ivf_clusters
         self.ivf_nprobe = ivf_nprobe
         self.ivf_iters = ivf_iters
+        if store_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"store_dtype must be float32|bfloat16, got {store_dtype}")
+        self.store_dtype = store_dtype
+        self._jdtype = jnp.float32 if store_dtype == "float32" else jnp.bfloat16
         self.capacity = _next_pow2(max(capacity, 1024))
         self.count = 0
         self._lock = threading.RLock()
-        self.E = jnp.zeros((self.capacity, dim), dtype=jnp.float32)
+        self.E = jnp.zeros((self.capacity, dim), dtype=self._jdtype)
         # int8 tier state (built lazily by freeze()/refresh)
         self._E_q: Optional[jax.Array] = None  # (capacity, d) int8
         self._scales: Optional[jax.Array] = None  # (capacity,) f32
@@ -83,14 +92,14 @@ class DeviceIndex:
                 self._ensure_capacity(self.count + padded)
             if isinstance(mat, jax.Array):
                 # device-resident ingest path: pad on device, no host copy
-                buf = jnp.zeros((padded, self.dim), jnp.float32)
+                buf = jnp.zeros((padded, self.dim), self._jdtype)
                 buf = jax.lax.dynamic_update_slice(
-                    buf, mat.astype(jnp.float32), (0, 0)
+                    buf, mat.astype(self._jdtype), (0, 0)
                 )
             else:
                 host = np.zeros((padded, self.dim), dtype=np.float32)
                 host[:n] = mat
-                buf = jnp.asarray(host)
+                buf = jnp.asarray(host, dtype=self._jdtype)
             self.E = exact_ops.append_rows(self.E, buf, jnp.int32(self.count))
             self.count += n
             self._count_dev = None
@@ -103,7 +112,7 @@ class DeviceIndex:
             return
         new_cap = _next_pow2(needed)
         old = self.E
-        self.E = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
+        self.E = jnp.zeros((new_cap, self.dim), dtype=self._jdtype)
         self.E = exact_ops.append_rows(self.E, old, jnp.int32(0))
         self.capacity = new_cap
         self._quant_dirty = True
@@ -182,6 +191,11 @@ class DeviceIndex:
         """bf16 index tier: half the HBM traffic of f32 at recall ~= 1."""
         from modular_rag_system_tpu.ops.fused_topk import fused_topk
 
+        if self.store_dtype == "bfloat16":
+            return fused_topk(
+                self.E, self.count_device(), qj, k,
+                block_rows=self.block_rows, bin_width=self.fused_bin_width,
+            )
         if self._quant_dirty or self._E_bf16 is None:
             self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
             self._quant_dirty = False
@@ -217,9 +231,11 @@ class DeviceIndex:
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
-        """Persist live rows to .npz (SURVEY §5 checkpoint/resume)."""
+        """Persist live rows to .npz (SURVEY §5 checkpoint/resume).
+
+        Always saved as f32 for interchange regardless of store_dtype."""
         with self._lock:
-            live = np.asarray(self.E[: self.count])
+            live = np.asarray(self.E[: self.count].astype(jnp.float32))
         np.savez_compressed(path, embeddings=live, count=self.count, dim=self.dim)
 
     @classmethod
@@ -233,7 +249,8 @@ class DeviceIndex:
         return idx
 
     def memory_bytes(self) -> int:
-        b = self.capacity * self.dim * 4
+        itemsize = 4 if self.store_dtype == "float32" else 2
+        b = self.capacity * self.dim * itemsize
         if self._E_q is not None:
             b += self.capacity * self.dim + self.capacity * 4
         return b

@@ -77,6 +77,8 @@ def _ivf_search_jit(E, centroids, bucket_ids, q, k: int, nprobe: int):
 class IVFIndex:
     """Built snapshot of an IVF structure over a DeviceIndex's E matrix."""
 
+    FILL_FACTOR = 4  # bucket_cap = pow2(ceil(FILL_FACTOR * N / C))
+
     def __init__(self, E, centroids, bucket_ids, count: int, nprobe: int = 8):
         self.E = E
         self.centroids = centroids
@@ -117,7 +119,7 @@ class IVFIndex:
         # largest cluster.  Overflow rows are greedily reassigned to their
         # next-best centroid with space (scores computed on device for the
         # overflow rows only).
-        fill_factor = 4
+        fill_factor = cls.FILL_FACTOR
         bucket_cap = max(
             8, _next_pow2(int(np.ceil(fill_factor * max(count, 1) / n_clusters)))
         )
@@ -135,20 +137,42 @@ class IVFIndex:
             fill[c] = len(keep)
             overflow.extend(members[bucket_cap:])
         if overflow:
+            # Chunked device top-P preference lists: a full (n_overflow, C)
+            # score matrix + host argsort would OOM at 10M-row scale.
+            # P=32 choices suffice — total slots are fill_factor*N, so a
+            # greedy pass almost never exhausts a row's list; the rare
+            # leftovers take any cluster with space (still searchable,
+            # just probed less precisely).
             ov = np.asarray(overflow, dtype=np.int64)
-            scores = np.asarray(
-                jnp.dot(E[jnp.asarray(ov)], centroids.T,
-                        preferred_element_type=jnp.float32)
-            )
-            pref = np.argsort(-scores, axis=1)
-            for row, choices in zip(ov, pref):
+            P = min(32, n_clusters)
+            prefs = np.empty((len(ov), P), dtype=np.int64)
+            CHUNK = 65536
+            for i in range(0, len(ov), CHUNK):
+                sc = jnp.dot(
+                    E[jnp.asarray(ov[i : i + CHUNK])].astype(jnp.float32),
+                    centroids.T,
+                    preferred_element_type=jnp.float32,
+                )
+                _, top = jax.lax.top_k(sc, P)
+                prefs[i : i + CHUNK] = np.asarray(top)
+            leftovers = []
+            for row, choices in zip(ov, prefs):
                 for c in choices:
                     if fill[c] < bucket_cap:
                         bucket_ids[c, fill[c]] = row
                         fill[c] += 1
                         break
-                else:  # pragma: no cover - total slots >= fill_factor * N
-                    raise RuntimeError("IVF bucket table full")
+                else:
+                    leftovers.append(row)
+            if leftovers:
+                open_slots = np.flatnonzero(fill < bucket_cap)
+                si = 0
+                for row in leftovers:
+                    while fill[open_slots[si]] >= bucket_cap:
+                        si += 1
+                    c = open_slots[si]
+                    bucket_ids[c, fill[c]] = row
+                    fill[c] += 1
         return cls(E, centroids, jnp.asarray(bucket_ids), count, nprobe)
 
     # ------------------------------------------------------------------

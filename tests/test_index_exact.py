@@ -98,3 +98,31 @@ def test_dim_mismatch_raises(rng):
     idx = DeviceIndex(dim=16)
     with pytest.raises(ValueError):
         idx.add(normalized(rng, 3, 8))
+
+
+def test_bf16_store_dtype(rng):
+    """bf16 master matrix: half memory, all tiers work, near-exact recall."""
+    E = normalized(rng, 2000, 64)
+    q = normalized(rng, 8, 64)
+    f32 = DeviceIndex(dim=64, tier="exact")
+    f32.add(E)
+    _, ref = f32.search(q, 10)
+    for tier in ("exact", "fused", "bf16", "int8"):
+        idx = DeviceIndex(dim=64, tier=tier, block_rows=256,
+                          store_dtype="bfloat16")
+        idx.add(E)
+        _, got = idx.search(q, 10)
+        recall = np.mean([len(set(ref[i]) & set(got[i])) / 10 for i in range(8)])
+        assert recall >= 0.9, (tier, recall)
+    assert idx.memory_bytes() < f32.memory_bytes()
+    # snapshot interchange: bf16 store loads back into an f32 index
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "s.npz")
+    idx.snapshot(p)
+    back = DeviceIndex.load(p)
+    assert back.count == 2000
+
+
+def test_bad_store_dtype_rejected():
+    with pytest.raises(ValueError, match="store_dtype"):
+        DeviceIndex(dim=16, store_dtype="int4")
