@@ -88,6 +88,7 @@ class RAGEngine:
                 tier=self.config.index.tier,
                 block_rows=self.config.index.block_rows,
                 fused_bin_width=self.config.index.fused_bin_width,
+                store_dtype=self.config.index.store_dtype,
             )
         else:
             self.index = DeviceIndex(

@@ -60,6 +60,7 @@ class ShardedIndex:
         block_rows: int = 1024,
         axis="index",
         fused_bin_width=None,
+        store_dtype: str = "float32",
     ) -> None:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
@@ -71,6 +72,10 @@ class ShardedIndex:
             )
         self.dim = dim
         self.tier = tier
+        if store_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"store_dtype must be float32|bfloat16, got {store_dtype}")
+        self.store_dtype = store_dtype
+        self._jdtype = jnp.float32 if store_dtype == "float32" else jnp.bfloat16
         if mesh is not None and len(mesh.axis_names) == 2 and not isinstance(axis, tuple):
             axis = tuple(mesh.axis_names)
         self.axis = axis
@@ -84,7 +89,7 @@ class ShardedIndex:
         self._row_sharding = NamedSharding(self.mesh, P(axis, None, None))
         self._scale_sharding = NamedSharding(self.mesh, P(axis, None))
         self.E = jax.device_put(
-            jnp.zeros((self.S, self.cap_s, dim), jnp.float32), self._row_sharding
+            jnp.zeros((self.S, self.cap_s, dim), self._jdtype), self._row_sharding
         )
         self._E_q = None  # (S, cap_s, d) int8
         self._scales = None  # (S, cap_s) f32
@@ -118,7 +123,7 @@ class ShardedIndex:
                 self.E,
                 jnp.asarray(s_idx, jnp.int32),
                 jnp.asarray(j_idx, jnp.int32),
-                jnp.asarray(mat, jnp.float32),
+                jnp.asarray(mat).astype(self._jdtype),
             )
             self.count += n
             self._count_dev = None
@@ -130,7 +135,7 @@ class ShardedIndex:
             return
         new_cap_s = _next_pow2((needed + self.S - 1) // self.S)
         old = self.E
-        grown = jnp.zeros((self.S, new_cap_s, self.dim), jnp.float32)
+        grown = jnp.zeros((self.S, new_cap_s, self.dim), self._jdtype)
         grown = jax.jit(
             lambda g, o: jax.lax.dynamic_update_slice(g, o, (0, 0, 0)),
             out_shardings=self._row_sharding,
@@ -145,7 +150,7 @@ class ShardedIndex:
             return
         with self._lock:
             s_idx, j_idx = self._phys_pos(np.asarray(rows))
-            zeros = jnp.zeros((len(rows), self.dim), jnp.float32)
+            zeros = jnp.zeros((len(rows), self.dim), self._jdtype)
             self.E = _scatter_rows(
                 self.E,
                 jnp.asarray(s_idx, jnp.int32),
@@ -164,7 +169,7 @@ class ShardedIndex:
                 self.E,
                 jnp.asarray(s_idx, jnp.int32),
                 jnp.asarray(j_idx, jnp.int32),
-                jnp.asarray(mat, jnp.float32),
+                jnp.asarray(mat).astype(self._jdtype),
             )
             self._quant_dirty = True
 
@@ -277,6 +282,13 @@ class ShardedIndex:
             self._refresh_quant()
             return self._E_q, self._scales
         if self.tier == "bf16":
+            if self.store_dtype == "bfloat16":
+                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
+                    self._dummy_scales = jax.device_put(
+                        jnp.zeros((self.S, self.cap_s), jnp.float32),
+                        self._scale_sharding,
+                    )
+                return self.E, self._dummy_scales
             if self._quant_dirty or self._E_bf16 is None:
                 self._E_bf16 = jax.jit(
                     lambda e: e.astype(jnp.bfloat16),
@@ -332,7 +344,7 @@ class ShardedIndex:
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
-        phys = np.asarray(self.E)  # (S, cap_s, d)
+        phys = np.asarray(self.E.astype(jnp.float32))  # (S, cap_s, d)
         glob = phys.transpose(1, 0, 2).reshape(self.capacity, self.dim)
         np.savez_compressed(
             path, embeddings=glob[: self.count], count=self.count, dim=self.dim
@@ -353,7 +365,8 @@ class ShardedIndex:
         return idx
 
     def memory_bytes(self) -> int:
-        b = self.capacity * self.dim * 4
+        itemsize = 4 if self.store_dtype == "float32" else 2
+        b = self.capacity * self.dim * itemsize
         if self._E_q is not None:
             b += self.capacity * self.dim + self.capacity * 4
         return b

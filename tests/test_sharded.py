@@ -217,3 +217,19 @@ def test_hierarchical_fused_tier(rng):
     _, ref = single.search(q, 10)
     _, got = idx.search(q, 10)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_bf16_store_dtype(rng, mesh8):
+    E = normalized(rng, 2048, 64)
+    q = normalized(rng, 4, 64)
+    ref = DeviceIndex(dim=64, tier="exact")
+    ref.add(E)
+    _, rr = ref.search(q, 10)
+    for tier in ("exact", "bf16", "int8"):
+        idx = ShardedIndex(dim=64, mesh=mesh8, tier=tier, block_rows=64,
+                           store_dtype="bfloat16")
+        idx.add(E)
+        _, got = idx.search(q, 10)
+        recall = np.mean([len(set(rr[i]) & set(got[i])) / 10 for i in range(4)])
+        assert recall >= 0.9, (tier, recall)
+    assert idx.memory_bytes() < ref.memory_bytes() * 8  # bf16 phys halves
