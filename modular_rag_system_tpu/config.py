@@ -89,6 +89,11 @@ class StoreConfig:
     # retention horizon for cleanup_old_documents (the reference's was a
     # no-op stub, ``ollama_rag_system.py:843-850``; ours actually deletes)
     retention_days: Optional[float] = None
+    # write the index snapshot at shutdown.  When False, restart rebuilds
+    # embeddings from the document store — on hosts with a slow device
+    # link (this environment: ~6 MB/s fetch) re-embedding 500k docs
+    # (~24 s) beats fetching the matrix (~130 s)
+    snapshot_on_shutdown: bool = True
 
 
 @dataclass

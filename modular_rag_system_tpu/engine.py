@@ -33,7 +33,7 @@ import numpy as np
 
 from modular_rag_system_tpu.chunker import TextChunker
 from modular_rag_system_tpu.config import RAGConfig
-from modular_rag_system_tpu.index import DeviceIndex
+from modular_rag_system_tpu.index import DeviceIndex, snapshot_embeddings
 from modular_rag_system_tpu.models import build_encoder
 from modular_rag_system_tpu.store import DocumentStore
 from modular_rag_system_tpu.types import Document, Query, RetrievalResult, as_matrix
@@ -130,9 +130,9 @@ class RAGEngine:
         if self._snapshot_path.exists():
             data = np.load(self._snapshot_path)
             if int(data["dim"]) == self.index.dim and int(data["count"]) <= max(n_store, 0):
-                emb = data["embeddings"][: int(data["count"])]
+                emb = snapshot_embeddings(data)[: int(data["count"])]
                 if emb.shape[0]:
-                    self.index.add(emb)
+                    self.index.add(np.asarray(emb, dtype=np.float32))
         if self.index.count < n_store:
             # Rebuild missing rows POSITIONALLY, including tombstones:
             # skipping deleted rows would shift every later embedding and
@@ -328,7 +328,7 @@ class RAGEngine:
     # DeviceIndex exact/fused/bf16 tiers; other combinations take the
     # two-step path)
     def _device_query(self, texts, k: int):
-        from modular_rag_system_tpu.index import DeviceIndex
+        from modular_rag_system_tpu.index import DeviceIndex, snapshot_embeddings
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
         from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
@@ -406,11 +406,14 @@ class RAGEngine:
 
             def packed(E, scales, count, ids, mask):
                 vals, rid = program(E, scales, count, ids, mask)
-                # pack (scores f32, rows i32-bitcast-f32) into ONE output:
-                # every device->host fetch is a full relay round trip, so
-                # two fetches double single-query latency
+                # pack (scores, rows) into ONE output: every device->host
+                # fetch is a full relay round trip, so two fetches double
+                # single-query latency.  Pack in INT32 space — bitcasting
+                # row ids to f32 makes denormals, which the TPU flushes
+                # to zero (ids silently became 0 at scale; CPU tests
+                # passed because CPU preserves denormals).
                 return jnp.concatenate(
-                    [vals, jax.lax.bitcast_convert_type(rid, jnp.float32)],
+                    [jax.lax.bitcast_convert_type(vals, jnp.int32), rid],
                     axis=1,
                 )
 
@@ -437,8 +440,8 @@ class RAGEngine:
                 jnp.asarray(mask),
             )
         )
-        scores = out[:Q, :k]
-        rows = out[:Q, k:].view(np.int32)
+        scores = out[:Q, :k].view(np.float32)
+        rows = out[:Q, k:]
         return scores, rows
 
     def _retrieve(self, q: Query) -> RetrievalResult:
@@ -587,7 +590,9 @@ class RAGEngine:
         before = self.index.count
         # snapshot live embeddings in OLD row order
         self.index.snapshot(str(self._snapshot_path))
-        emb = np.load(self._snapshot_path)["embeddings"]
+        emb = np.asarray(
+            snapshot_embeddings(np.load(self._snapshot_path)), dtype=np.float32
+        )
         live_old = self.store.compact()
         live_emb = emb[np.asarray(live_old, dtype=np.int64)]
         # rebuild a fresh index of the same class/config
@@ -691,5 +696,6 @@ class RAGEngine:
         return self.store.export_gzip_json(path)
 
     def shutdown(self) -> None:
-        self.save()
+        if self.config.store.snapshot_on_shutdown:
+            self.save()
         self.store.close()

@@ -23,6 +23,15 @@ import numpy as np
 from modular_rag_system_tpu.ops import exact as exact_ops
 
 
+def snapshot_embeddings(data) -> np.ndarray:
+    """Decode a snapshot's embedding matrix (f32 or bf16-as-uint16)."""
+    if "embeddings_bf16" in data:
+        import ml_dtypes
+
+        return data["embeddings_bf16"].view(ml_dtypes.bfloat16)
+    return data["embeddings"]
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -233,19 +242,29 @@ class DeviceIndex:
     def snapshot(self, path: str) -> None:
         """Persist live rows to .npz (SURVEY §5 checkpoint/resume).
 
-        Always saved as f32 for interchange regardless of store_dtype."""
+        Saved in the stored dtype: the device->host fetch dominates
+        snapshot time, and bf16 halves it.  bf16 rows are stored as a
+        uint16 bit view (numpy has no native bfloat16)."""
         with self._lock:
-            live = np.asarray(self.E[: self.count].astype(jnp.float32))
-        np.savez_compressed(path, embeddings=live, count=self.count, dim=self.dim)
+            live = np.asarray(self.E[: self.count])
+        # uncompressed: zlib on ~GB of float embeddings costs minutes
+        # and saves almost nothing (near-random mantissas)
+        if self.store_dtype == "bfloat16":
+            np.savez(path, embeddings_bf16=live.view(np.uint16),
+                     count=self.count, dim=self.dim)
+        else:
+            np.savez(path, embeddings=live, count=self.count, dim=self.dim)
 
     @classmethod
     def load(cls, path: str, tier: str = "exact", block_rows: int = 1024) -> "DeviceIndex":
         data = np.load(path)
         dim = int(data["dim"])
         count = int(data["count"])
-        idx = cls(dim=dim, capacity=max(count, 4096), tier=tier, block_rows=block_rows)
+        store_dtype = "bfloat16" if "embeddings_bf16" in data else "float32"
+        idx = cls(dim=dim, capacity=max(count, 4096), tier=tier,
+                  block_rows=block_rows, store_dtype=store_dtype)
         if count:
-            idx.add(data["embeddings"][:count])
+            idx.add(snapshot_embeddings(data)[:count])
         return idx
 
     def memory_bytes(self) -> int:

@@ -352,16 +352,22 @@ class ShardedIndex:
 
     @classmethod
     def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024):
+        from modular_rag_system_tpu.index import snapshot_embeddings
+
         data = np.load(path)
+        store_dtype = "bfloat16" if "embeddings_bf16" in data else "float32"
         idx = cls(
             dim=int(data["dim"]),
             mesh=mesh,
             capacity=max(int(data["count"]), 4096),
             tier=tier,
             block_rows=block_rows,
+            store_dtype=store_dtype,
         )
         if int(data["count"]):
-            idx.add(data["embeddings"][: int(data["count"])])
+            idx.add(np.asarray(
+                snapshot_embeddings(data)[: int(data["count"])], dtype=np.float32
+            ))
         return idx
 
     def memory_bytes(self) -> int:
