@@ -187,7 +187,12 @@ class RAGEngine:
             import jax
 
             emb_dev = retry_transient(
-                lambda: self.encoder.encode_device([d.content for d in docs]),
+                # block inside the retried lambda: dispatch is async, so
+                # without the sync a transient device error would surface
+                # later, outside the retry
+                lambda: jax.block_until_ready(
+                    self.encoder.encode_device([d.content for d in docs])
+                ),
                 what="encoder forward",
             )
         else:
@@ -328,7 +333,7 @@ class RAGEngine:
     # DeviceIndex exact/fused/bf16 tiers; other combinations take the
     # two-step path)
     def _device_query(self, texts, k: int):
-        from modular_rag_system_tpu.index import DeviceIndex, snapshot_embeddings
+        from modular_rag_system_tpu.index import DeviceIndex
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
         from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
@@ -424,7 +429,9 @@ class RAGEngine:
         else:
             sc_in = jnp.zeros((1, 1), jnp.float32)
             E_in = self.index.E
-            if tier == "bf16":
+            if tier == "bf16" and self.index.store_dtype != "bfloat16":
+                # store already bf16 -> E works directly; otherwise keep a
+                # lazily-cast copy (dirty-invalidated)
                 if self.index._quant_dirty or self.index._E_bf16 is None:
                     self.index._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(
                         self.index.E
@@ -606,6 +613,7 @@ class RAGEngine:
                 tier=self.index.tier,
                 block_rows=self.index.block_rows,
                 fused_bin_width=self.index.fused_bin_width,
+                store_dtype=self.index.store_dtype,
             )
         else:
             self.index = DeviceIndex(
@@ -617,6 +625,7 @@ class RAGEngine:
                 ivf_nprobe=self.index.ivf_nprobe,
                 ivf_iters=self.index.ivf_iters,
                 fused_bin_width=self.index.fused_bin_width,
+                store_dtype=self.index.store_dtype,
             )
         if len(live_old):
             self.index.add(live_emb)
@@ -658,6 +667,7 @@ class RAGEngine:
                     tier=self.index.tier,
                     block_rows=self.index.block_rows,
                     fused_bin_width=self.index.fused_bin_width,
+                    store_dtype=self.index.store_dtype,
                 )
             else:
                 self.index = DeviceIndex(
@@ -669,6 +679,7 @@ class RAGEngine:
                     ivf_nprobe=self.index.ivf_nprobe,
                     ivf_iters=self.index.ivf_iters,
                     fused_bin_width=self.index.fused_bin_width,
+                    store_dtype=self.index.store_dtype,
                 )
             self.index.add(mat)
             if tombstones:

@@ -144,10 +144,19 @@ class MiniLMEncoder:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
         bs = self.batch_size
-        # dispatch ALL batches before fetching anything: a device->host
-        # fetch per batch serializes the pipeline on the host<->device
-        # round trip (measured ~30x slowdown on a relay-attached chip)
+        # Pipeline dispatches ahead of fetches: a device->host fetch per
+        # batch serializes on the round trip (measured ~30x slowdown on a
+        # relay-attached chip).  The window is BOUNDED so peak device
+        # memory stays O(window * batch), not O(corpus) — reembed_all on
+        # a 10M corpus would otherwise hold 15 GB of activations.
+        WINDOW = 8
+        out = np.zeros((len(texts), self.dim), np.float32)
         pending = []
+
+        def drain_one():
+            i, n, emb = pending.pop(0)
+            out[i : i + n] = np.asarray(emb[:n], dtype=np.float32)
+
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             ids, mask = self.tokenizer.encode_batch(chunk)
@@ -158,9 +167,10 @@ class MiniLMEncoder:
                 mask = np.pad(mask, ((0, padded - n), (0, 0)))
             emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
             pending.append((i, n, emb))
-        out = np.zeros((len(texts), self.dim), np.float32)
-        for i, n, emb in pending:
-            out[i : i + n] = np.asarray(emb[:n], dtype=np.float32)
+            if len(pending) >= WINDOW:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
     def encode_device(self, texts: Sequence[str]):
@@ -168,7 +178,10 @@ class MiniLMEncoder:
 
         The bulk-ingest path feeds this straight into the device index —
         materializing embeddings on the host and re-uploading them costs
-        two full corpus transfers through the device link."""
+        two full corpus transfers through the device link.  The result is
+        O(N * dim) device memory by design (it becomes index rows);
+        callers ingesting beyond free HBM should batch their add_documents
+        calls."""
         import jax
 
         if not texts:

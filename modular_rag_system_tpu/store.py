@@ -99,6 +99,7 @@ class DocumentStore:
             updates = []
             inserts = []
             seen_new: Dict[str, int] = {}
+            seen_resurrected: set = set()
             for d in docs:
                 hit = existing.get(d.id)
                 if hit is None and d.id in seen_new:
@@ -109,7 +110,14 @@ class DocumentStore:
                     updates.append(
                         (json.dumps(d.metadata), d.timestamp, d.importance, d.id)
                     )
-                    out.append((hit[0], "resurrected" if hit[1] else "existing"))
+                    # only the FIRST occurrence of a tombstoned id counts
+                    # as resurrected (the caller rewrites that index row
+                    # once); later duplicates are plain updates
+                    if hit[1] and d.id not in seen_resurrected:
+                        seen_resurrected.add(d.id)
+                        out.append((hit[0], "resurrected"))
+                    else:
+                        out.append((hit[0], "existing"))
                 else:
                     inserts.append(
                         (

@@ -128,3 +128,14 @@ def test_upsert_duplicate_ids_within_one_batch(tmp_storage):
     assert placements[1] == (placements[0][0], "existing")
     assert placements[2][1] == "new"
     assert s.count() == 2
+
+
+def test_duplicate_resurrection_in_one_batch(tmp_storage):
+    s = DocumentStore(tmp_storage)
+    d = Document(content="twice resurrected")
+    s.upsert_batch([d])
+    s.delete_ids([d.id])
+    statuses = s.upsert_batch([Document(content="twice resurrected"),
+                               Document(content="twice resurrected")])
+    assert statuses[0][1] == "resurrected"
+    assert statuses[1][1] == "existing"
