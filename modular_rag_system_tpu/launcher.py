@@ -43,6 +43,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     mode.add_argument("--daemon", action="store_true", help="serve until interrupted")
     mode.add_argument("--init-only", action="store_true", help="initialize and exit")
     mode.add_argument("--test", action="store_true", help="run the self-test smoke mode")
+    mode.add_argument("--interactive", action="store_true",
+                      help="interactive menu (reference rag_launcher parity)")
     mode.add_argument("--query", default=None, help="run one query and exit")
     p.add_argument("--stats", action="store_true", help="print stats after the action")
     return p
@@ -147,11 +149,45 @@ def run_repl(cfg: RAGConfig) -> int:
         sys_.shutdown()
 
 
+def run_interactive_menu(cfg: RAGConfig) -> int:
+    """Interactive launcher menu (reference ``rag_launcher.py:interactive_menu``)."""
+    options = {
+        "1": ("Run the self-test", run_self_test),
+        "2": ("Start the CLI REPL", run_repl),
+        "3": ("Start the daemon (file + query APIs)", run_daemon),
+        "4": ("Launch the GUI", run_gui),
+        "q": ("Quit", None),
+    }
+    while True:
+        print("\nrag-tpu launcher")
+        for key, (label, _fn) in options.items():
+            print(f"  {key}) {label}")
+        try:
+            choice = input("> ").strip().lower()
+        except (EOFError, KeyboardInterrupt):
+            return 0
+        if choice == "q":
+            return 0
+        entry = options.get(choice)
+        if entry is None:
+            print("unknown choice")
+            continue
+        rc = entry[1](cfg)
+        if choice != "1":
+            return rc
+        print(f"(self-test exit code {rc})")
+
+
 def run_daemon(cfg: RAGConfig) -> int:
+    import signal
+
     from modular_rag_system_tpu.serving import RAGHTTPServer
 
     sys_ = _build_system(cfg)
     sys_.start()
+    # graceful SIGTERM (reference keystroke_logger.py installed
+    # SIGINT/SIGTERM handlers; a daemon must die cleanly under systemd)
+    signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(KeyboardInterrupt))
     api = RAGHTTPServer(sys_, port=cfg.serving.file_server_port + 1
                         if cfg.serving.file_server_port else 0)
     api_port = api.start()
@@ -203,6 +239,8 @@ def main(argv: Optional[list] = None) -> int:
     cfg = load_config(args)
     if args.test:
         return run_self_test(cfg)
+    if args.interactive:
+        return run_interactive_menu(cfg)
     if args.cli:
         return run_repl(cfg)
     if args.gui:

@@ -89,6 +89,14 @@ class ContextAggregator:
             if e["timestamp"] >= cutoff and (kind is None or e["kind"] == kind)
         ]
 
+    def get_recent_context(self, window_s: float = RECENCY_WINDOW_S) -> List[Dict]:
+        """All recent context entries (reference-name convenience)."""
+        return self.recent(None, window_s)
+
+    def get_application_context(self, app: str) -> List[Dict[str, Any]]:
+        """Context entries for one application (reference-name parity)."""
+        return list(self.app_contexts.get(app, []))
+
     def get_typing_analysis(self) -> Dict[str, float]:
         """avg WPM; productivity = wpm/50 capped at 1; consistency = 1 - σ/μ
 
