@@ -16,6 +16,11 @@ setup(
         "orchestration"
     ),
     packages=find_packages(include=["modular_rag_system_tpu*"]),
+    package_data={
+        # ship the C++ source: the native text engine builds itself with
+        # g++ on first use (no prebuilt binaries in the wheel)
+        "modular_rag_system_tpu.native": ["*.cpp"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "numpy",
