@@ -303,3 +303,58 @@ class KeystrokeCapture:
         if self._listener is not None:
             self._listener.stop()
             self._listener = None
+
+
+def _main(argv=None) -> int:
+    """Module CLI (reference ``keystroke_logger.py:709-725`` parity):
+
+    ``python -m modular_rag_system_tpu.ingest.keystrokes --test | --stats
+    | --export sessions.json``.  ``--test`` runs a synthetic session
+    through the full privacy + reconstruction pipeline."""
+    import argparse
+    import json as _json
+
+    ap = argparse.ArgumentParser(prog="keystrokes")
+    ap.add_argument("--test", action="store_true", help="synthetic smoke test")
+    ap.add_argument("--stats", action="store_true", help="print statistics")
+    ap.add_argument("--export", default=None, help="export sessions to JSON")
+    ap.add_argument("--listen", action="store_true",
+                    help="attach the OS listener (requires pynput + display)")
+    args = ap.parse_args(argv)
+    captured = []
+    kc = KeystrokeCapture(rag_callback=lambda c, m: captured.append((c, m)))
+    if args.test:
+        for ch in "the quick brown fox typed this sentence":
+            kc.feed_event(ch if ch != " " else "space", application="test-app")
+        for ch in "password: hunter2":  # must be dropped
+            kc.feed_event(ch if ch != " " else "space", application="secrets-app")
+        kc.drain()
+        ok = (len(captured) == 1
+              and captured[0][0] == "the quick brown fox typed this sentence"
+              and kc.stats["sessions_filtered"] == 1)
+        print(f"reconstructed: {captured[0][0]!r}" if captured else "no capture")
+        print(f"sensitive sessions dropped: {kc.stats['sessions_filtered']}")
+        print("self-test:", "PASSED" if ok else "FAILED")
+        return 0 if ok else 1
+    if args.listen:
+        kc.start()
+        if not kc.attach_listener():
+            print("pynput/display unavailable; cannot listen")
+            return 1
+        print("listening; Ctrl-C to stop")
+        try:
+            import time as _t
+
+            while True:
+                _t.sleep(1)
+        except KeyboardInterrupt:
+            kc.stop()
+    if args.export:
+        print("exported:", kc.export_sessions(args.export))
+    if args.stats:
+        print(_json.dumps(kc.get_statistics(), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_main())

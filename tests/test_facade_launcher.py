@@ -218,3 +218,35 @@ def test_fine_tune_requires_trainable_encoder(fake_config):
         assert s.fine_tune_from_feedback() is None  # fake encoder: no-op
     finally:
         s.shutdown()
+
+
+def test_launcher_query_mode(tmp_storage, capsys):
+    # seed a corpus, then run one query through the --query mode
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    cfg = RAGConfig.load(overrides={
+        "embedding.model": "fake", "store.storage_path": tmp_storage,
+        "retrieval.similarity_threshold": 0.0,
+        "serving.file_server_port": 0})
+    eng = RAGEngine(cfg)
+    eng.add_document("query-mode target document about gizmos")
+    eng.shutdown()
+    rc = main(["--query", "what about gizmos?", "--storage", tmp_storage,
+               "--encoder", "fake", "--port", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Insight" in out and "confidence=" in out
+
+
+def test_keystrokes_module_cli():
+    import subprocess, sys, os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "modular_rag_system_tpu.ingest.keystrokes", "--test"],
+        capture_output=True, text=True, timeout=120, env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "self-test: PASSED" in out.stdout
