@@ -90,6 +90,7 @@ class EnhancedRAGSystem:
             cache_max=self.config.serving.response_cache_max,
         )
         self.keystrokes: Optional[KeystrokeCapture] = None
+        self.ocr = None
         self._training_pairs: List = []
         self.batcher = None
         if capture_batch_size > 1:
@@ -125,6 +126,26 @@ class EnhancedRAGSystem:
                 self.keystrokes.attach_listener()
         return self.keystrokes
 
+    def enable_ocr(self, backend, analysis_interval_s: float = 10.0,
+                   min_confidence: float = 0.7, start: bool = True):
+        """Opt-in OCR ingest loop (reference ``run_integrated_rag.py:251-296``).
+
+        ``backend`` is any callable returning {"text", "confidence",
+        "window"} or None; results flow through the privacy filter into
+        the same capture sink as keystrokes."""
+        from modular_rag_system_tpu.ingest.ocr import OCRIngestLoop
+
+        self.ocr = OCRIngestLoop(
+            backend,
+            sink=self._capture_sink,
+            privacy=self.privacy,
+            analysis_interval_s=analysis_interval_s,
+            min_confidence=min_confidence,
+        )
+        if start:
+            self.ocr.start()
+        return self.ocr
+
     def _capture_sink(self, content: str, metadata: Dict[str, Any]) -> None:
         ctype = metadata.get("content_type", "keystroke")
         self.aggregator.add_keystroke_context(content, metadata) if ctype == "keystroke" \
@@ -140,6 +161,8 @@ class EnhancedRAGSystem:
     def shutdown(self) -> None:
         if self.keystrokes is not None:
             self.keystrokes.stop()
+        if self.ocr is not None:
+            self.ocr.stop()
         if self.batcher is not None:
             self.batcher.stop()
         self.files.stop_web_server()

@@ -250,3 +250,22 @@ def test_keystrokes_module_cli():
         capture_output=True, text=True, timeout=120, env=env, cwd="/root/repo")
     assert out.returncode == 0, out.stdout + out.stderr
     assert "self-test: PASSED" in out.stdout
+
+
+def test_facade_ocr_wiring(fake_config):
+    from modular_rag_system_tpu.ingest.ocr import stub_backend
+
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, enable_llm=False)
+    try:
+        loop = s.enable_ocr(stub_backend("screen text about dashboards", 0.95),
+                            start=False)
+        assert loop.poll_once()
+        res = s.engine.query("screen text dashboards", max_results=2,
+                             similarity_threshold=0.0)
+        assert res.documents
+        assert any(d.content_type == "ocr" for d in res.documents)
+        # context aggregator got the OCR entry too
+        assert s.aggregator.recent("ocr")
+    finally:
+        s.shutdown()
