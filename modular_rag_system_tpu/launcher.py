@@ -200,6 +200,15 @@ def run_daemon(cfg: RAGConfig) -> int:
         return 0
     finally:
         api.stop()
+        # final stats report (reference run_integrated_rag._show_final_stats)
+        st = sys_.get_system_stats()
+        print(
+            f"final stats: docs={st['engine']['index']['count']} "
+            f"queries={st['engine']['query_stats']['total_queries']} "
+            f"avg_retrieval={st['engine']['query_stats']['avg_retrieval_time']*1000:.1f}ms "
+            f"cache_hit_ratio={st['pipeline']['cache_hit_ratio']:.2f}",
+            flush=True,
+        )
         sys_.shutdown()
 
 
