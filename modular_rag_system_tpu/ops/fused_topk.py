@@ -355,3 +355,61 @@ def fused_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 1024, bin_w
     )
     ids = jnp.where(jnp.isfinite(vals), ids, -1)
     return vals[:Q], ids[:Q]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "bin_width", "interpret"))
+def _exact_binned_jit(E, count, q, k: int, block_rows: int, bin_width: int, interpret: bool):
+    # pass 1: binned kernel -> the top-k BIN WINNERS (one max per bin)
+    vals, ids = fused_topk_raw(E, count, q, k, block_rows, interpret,
+                               bin_width=bin_width)
+    Q = q.shape[0]
+    # The winners' bins form a superset container of the true top-k:
+    # every element >= the kth-largest bin-max lives in a bin whose max
+    # also beats it, and at most k distinct bins can hold such maxima.
+    bins = jnp.where(ids >= 0, ids // bin_width, 0)  # (Q, k)
+    base = bins * bin_width
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
+    rid = base[:, :, None] + offs  # (Q, k, bw)
+    rid_flat = rid.reshape(Q, k * bin_width)
+    rows = E[rid_flat]  # (Q, k*bw, d) gather
+    scores = jnp.einsum("qd,qnd->qn", q.astype(rows.dtype), rows,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(rid_flat < count, scores, -jnp.inf)
+    # Mask duplicate row ids (the same bin can be selected for more than
+    # one winner, and top_k would then return a row twice): keep only the
+    # first occurrence of each rid per query.
+    order = jnp.argsort(rid_flat, axis=1)
+    rid_sorted = jnp.take_along_axis(rid_flat, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), rid_sorted[:, 1:] != rid_sorted[:, :-1]], axis=1
+    )
+    # scatter 'first' back to original positions
+    inv = jnp.argsort(order, axis=1)
+    keep = jnp.take_along_axis(first, inv, axis=1)
+    scores = jnp.where(keep, scores, -jnp.inf)
+    fvals, pos = jax.lax.top_k(scores, k)
+    sel = jnp.take_along_axis(rid_flat, pos, axis=1)
+    sel = jnp.where(jnp.isfinite(fvals), sel, -1)
+    return fvals, sel.astype(jnp.int32)
+
+
+def exact_binned_topk(E, count, q, k: int, block_rows: int = 4096,
+                      bin_width: int = 512):
+    """EXACT top-k at near-binned cost: binned pass for candidate bins,
+
+    then an exact rescan of just those k bins (k * bin_width rows per
+    query).  Correctness: the k largest bin-maxima bins contain every
+    element >= the kth-largest element (each such element's own bin-max
+    ties or beats it, and k maxima bound k bins)."""
+    cap, d = E.shape
+    Q = q.shape[0]
+    block_rows = min(block_rows, cap, _max_block_rows(d, E.dtype))
+    _check_bin_width(bin_width, block_rows)
+    Qp = _round_up(Q, 8)
+    if Qp != Q:
+        q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
+    vals, ids = _exact_binned_jit(
+        E, jnp.asarray(count, jnp.int32), q, k, block_rows, bin_width,
+        _use_interpret(),
+    )
+    return vals[:Q], ids[:Q]

@@ -204,3 +204,30 @@ def test_binned_mode_device_index(rng):
     _, rb = idx.search(q, 10)
     recall = np.mean([len(set(re_[i]) & set(rb[i])) / 10 for i in range(8)])
     assert recall >= 0.9, recall
+
+
+def test_exact_binned_matches_exact(rng):
+    """Two-pass mode: binned candidates + bin rescan == exact top-k."""
+    from modular_rag_system_tpu.ops.fused_topk import exact_binned_topk
+
+    E, count, q = setup(rng, n=8192, d=128, q=9)
+    ve, ie = exact_topk(E, count, q, 10)
+    vb, ib = exact_binned_topk(E, count, q, 10, block_rows=1024, bin_width=128)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(ve), rtol=1e-4, atol=1e-5)
+
+
+def test_exact_binned_partial_count_and_dups(rng):
+    from modular_rag_system_tpu.ops.fused_topk import exact_binned_topk
+
+    # duplicate rows force same-bin collisions; partial count masks tail
+    base = normalized(rng, 1, 128)
+    E = np.zeros((2048, 128), np.float32)
+    E[:1500] = np.tile(base, (1500, 1))
+    ve, ie = exact_topk(jnp.asarray(E), jnp.int32(1500), jnp.asarray(base), 5)
+    vb, ib = exact_binned_topk(jnp.asarray(E), jnp.int32(1500), jnp.asarray(base),
+                               5, block_rows=512, bin_width=128)
+    # same SET of rows (ties may order differently between top_k variants)
+    assert set(np.asarray(ib)[0].tolist()) <= set(range(1500))
+    assert len(set(np.asarray(ib)[0].tolist())) == 5  # no duplicate rows
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(ve), atol=1e-5)
