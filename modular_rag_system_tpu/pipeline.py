@@ -21,6 +21,7 @@ processing-time stats.
 from __future__ import annotations
 
 import hashlib
+import threading
 import time
 from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional, Sequence
@@ -238,8 +239,6 @@ class MicroBatcher:
         poll_interval_s: float = 5.0,
         buffer_cap: int = 100,
     ) -> None:
-        import threading
-
         self.pipeline = pipeline
         self.engine = engine
         self.batch_size = batch_size
@@ -247,7 +246,7 @@ class MicroBatcher:
         self.poll_interval_s = poll_interval_s
         self._buffer: deque = deque(maxlen=buffer_cap)
         self._last_flush = time.time()
-        self._lock = __import__("threading").RLock()
+        self._lock = threading.RLock()
         self._thread = None
         self._stop = threading.Event()
         self.stats = {"items": 0, "flushes": 0, "documents_added": 0}
@@ -287,8 +286,6 @@ class MicroBatcher:
 
     # ------------------------------------------------------------------
     def start_background(self) -> None:
-        import threading
-
         if self._thread is not None:
             return
         self._stop.clear()
