@@ -269,3 +269,57 @@ def test_facade_ocr_wiring(fake_config):
         assert s.aggregator.recent("ocr")
     finally:
         s.shutdown()
+
+
+def test_http_api_concurrent_clients(fake_config):
+    """ThreadingHTTPServer + engine locks under concurrent query/add."""
+    import json
+    import threading
+    import urllib.request
+
+    from modular_rag_system_tpu.serving import RAGHTTPServer
+
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, enable_llm=False)
+    s.engine.add_document("concurrent serving seed document")
+    srv = RAGHTTPServer(s, port=0)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+    errors = []
+
+    def post(path, payload):
+        req = urllib.request.Request(base + path, data=json.dumps(payload).encode(),
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return json.loads(r.read())
+
+    def querier(i):
+        try:
+            for j in range(5):
+                out = post("/query", {"query": f"seed document {i} {j}",
+                                      "enhanced": False,
+                                      "similarity_threshold": 0.0})
+                assert "results" in out
+        except Exception as exc:
+            errors.append(exc)
+
+    def adder(i):
+        try:
+            for j in range(5):
+                post("/add", {"content": f"concurrent doc {i}-{j} payload"})
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=querier, args=(i,)) for i in range(3)]
+    threads += [threading.Thread(target=adder, args=(i,)) for i in range(3)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert s.engine.index.count == 1 + 15
+        assert s.engine.store.count() == s.engine.index.count
+    finally:
+        srv.stop()
+        s.shutdown()
