@@ -42,6 +42,11 @@ class EmbeddingConfig:
     num_heads: int = 12
     mlp_dim: int = 1536
     vocab_size: int = 30522
+    # Local directory of a saved HF BERT-family checkpoint (weights +
+    # tokenizer).  When set, the minilm encoder loads these weights via
+    # ``models.hf_loader`` instead of random init; when empty, the loader
+    # still probes the offline HF cache for all-MiniLM-L6-v2.
+    hf_checkpoint: str = ""
 
 
 @dataclass

@@ -51,11 +51,14 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             deterministic=True,
         )(x, x, mask=attn_mask)
-        x = nn.LayerNorm(dtype=jnp.float32)(x + a).astype(self.dtype)
+        # BERT-exact numerics so HF-loaded weights reproduce upstream
+        # embeddings: erf gelu (not the tanh approximation) and LN eps
+        # 1e-12 (flax default is 1e-6).
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-12)(x + a).astype(self.dtype)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype)(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden, dtype=self.dtype)(h)
-        x = nn.LayerNorm(dtype=jnp.float32)(x + h).astype(self.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-12)(x + h).astype(self.dtype)
         return x
 
 
@@ -76,7 +79,9 @@ class SentenceEncoderModule(nn.Module):
             nn.Embed(self.vocab_size, self.hidden, dtype=self.dtype, name="tok_embed")(ids)
             + nn.Embed(self.max_len, self.hidden, dtype=self.dtype, name="pos_embed")(pos)
         )
-        x = nn.LayerNorm(dtype=jnp.float32, name="embed_ln")(x).astype(self.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, epsilon=1e-12, name="embed_ln")(x).astype(
+            self.dtype
+        )
         for i in range(self.layers):
             x = TransformerBlock(
                 self.hidden, self.heads, self.mlp_dim, self.dtype, name=f"block_{i}"

@@ -31,11 +31,12 @@ import numpy as np
 def load_minilm_params(
     model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
     local_dir: Optional[str] = None,
-    num_layers: int = 6,
-    hidden: int = 384,
-    heads: int = 12,
 ):
-    """Returns (flax params dict, tokenizer) or raises if unavailable."""
+    """Returns (flax params dict, tokenizer, arch dict) or raises.
+
+    The architecture (layers/hidden/heads/mlp/vocab/max_len) is read from
+    the checkpoint's own config so the reshapes below can't silently
+    scramble heads on a mismatched caller guess."""
     import os
 
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -46,6 +47,11 @@ def load_minilm_params(
     src = local_dir or model_name
     hf_tok = AutoTokenizer.from_pretrained(src)
     hf = AutoModel.from_pretrained(src)
+    # Trust the checkpoint's own architecture, not the caller's guess —
+    # a mismatched reshape below would silently scramble heads.
+    num_layers = hf.config.num_hidden_layers
+    hidden = hf.config.hidden_size
+    heads = hf.config.num_attention_heads
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     head_dim = hidden // heads
 
@@ -97,7 +103,15 @@ def load_minilm_params(
                 "bias": t(p + "output.LayerNorm.bias"),
             },
         }
-    return params, hf_tok
+    arch = {
+        "num_layers": num_layers,
+        "hidden": hidden,
+        "heads": heads,
+        "mlp_dim": hf.config.intermediate_size,
+        "vocab_size": hf.config.vocab_size,
+        "max_len": hf.config.max_position_embeddings,
+    }
+    return params, hf_tok, arch
 
 
 def try_build_pretrained_encoder(config):
@@ -106,26 +120,28 @@ def try_build_pretrained_encoder(config):
     from modular_rag_system_tpu.models.tokenizer import WordPieceTokenizer
 
     try:
-        params, hf_tok = load_minilm_params(
-            num_layers=config.embedding.num_layers,
-            hidden=config.embedding.dim,
-            heads=config.embedding.num_heads,
+        params, hf_tok, arch = load_minilm_params(
+            local_dir=getattr(config.embedding, "hf_checkpoint", "") or None,
         )
     except Exception:
         return None
+    if arch["hidden"] != config.embedding.dim:
+        # embedding dim is the index dim — a checkpoint with a different
+        # hidden size can't serve this engine
+        return None
+    max_len = min(config.embedding.max_seq_len, arch["max_len"])
     vocab = hf_tok.get_vocab()
-    tok = WordPieceTokenizer(vocab, max_len=config.embedding.max_seq_len)
-    import jax
+    tok = WordPieceTokenizer(vocab, max_len=max_len)
 
     return MiniLMEncoder(
-        dim=config.embedding.dim,
-        max_seq_len=config.embedding.max_seq_len,
+        dim=arch["hidden"],
+        max_seq_len=max_len,
         batch_size=config.embedding.batch_size,
         dtype=config.embedding.dtype,
-        num_layers=config.embedding.num_layers,
-        num_heads=config.embedding.num_heads,
-        mlp_dim=config.embedding.mlp_dim,
-        vocab_size=config.embedding.vocab_size,
+        num_layers=arch["num_layers"],
+        num_heads=arch["heads"],
+        mlp_dim=arch["mlp_dim"],
+        vocab_size=arch["vocab_size"],
         tokenizer=tok,
-        params=jax.tree.map(lambda x: x, params),
+        params=params,
     )
