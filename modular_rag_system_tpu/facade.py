@@ -92,6 +92,7 @@ class EnhancedRAGSystem:
         self.keystrokes: Optional[KeystrokeCapture] = None
         self.ocr = None
         self._training_pairs: List = []
+        self._trainer = None  # lazily-built, cached ContrastiveTrainer
         self.batcher = None
         if capture_batch_size > 1:
             from modular_rag_system_tpu.pipeline import MicroBatcher
@@ -289,13 +290,20 @@ class EnhancedRAGSystem:
         from modular_rag_system_tpu.models.train import ContrastiveTrainer
         from modular_rag_system_tpu.parallel.mesh import default_devices, make_train_mesh
 
-        devices = default_devices()
-        n = len(devices)
-        model_par = 2 if n % 2 == 0 and n > 1 else 1
-        mesh = make_train_mesh(n // model_par, model_par, devices=devices)
-        trainer = ContrastiveTrainer(
-            self.engine.encoder, mesh, learning_rate=learning_rate
-        )
+        # Reuse one trainer per facade: a rebuilt trainer recompiles the
+        # jitted step every call, and caching also keeps optimizer moments
+        # warm across feedback rounds.  (Param copies at the trainer's
+        # donation boundaries make a rebuild safe too, e.g. on lr change.)
+        trainer = self._trainer
+        if trainer is None or trainer.learning_rate != learning_rate:
+            devices = default_devices()
+            n = len(devices)
+            model_par = 2 if n % 2 == 0 and n > 1 else 1
+            mesh = make_train_mesh(n // model_par, model_par, devices=devices)
+            trainer = ContrastiveTrainer(
+                self.engine.encoder, mesh, learning_rate=learning_rate
+            )
+            self._trainer = trainer
         qs = [q for q, _ in pairs]
         ps = [p for _, p in pairs]
         loss = acc = 0.0

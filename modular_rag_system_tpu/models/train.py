@@ -70,7 +70,13 @@ def shard_params(params, mesh: Mesh, model_axis: str = "model"):
         lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, model_axis)),
         params,
     )
-    return jax.device_put(params, specs), specs
+    # COPY before sharding: the trainer's jitted step donates these
+    # buffers, and device_put on already-placed arrays is a no-copy
+    # alias — donation would delete the serving encoder's params out
+    # from under concurrent queries (and break a second trainer built
+    # over the same encoder).
+    fresh = jax.tree.map(jnp.copy, params)  # device-side copy, no host trip
+    return jax.device_put(fresh, specs), specs
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +104,7 @@ class ContrastiveTrainer:
         self.temperature = temperature
         self.data_axis = data_axis
         self.model_axis = model_axis
+        self.learning_rate = learning_rate
         self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
         self.params, self._param_shardings = shard_params(
             encoder.params, mesh, model_axis
@@ -110,20 +117,33 @@ class ContrastiveTrainer:
         temp = temperature
         batch_sharding = NamedSharding(mesh, P(data_axis, None))
 
-        def loss_fn(params, q_ids, q_mask, p_ids, p_mask):
+        def loss_fn(params, q_ids, q_mask, p_ids, p_mask, valid):
             q_emb = module.apply({"params": params}, q_ids, q_mask)  # (B, d)
             p_emb = module.apply({"params": params}, p_ids, p_mask)
             logits = jnp.dot(q_emb, p_emb.T, preferred_element_type=jnp.float32) / temp
-            labels = jnp.arange(logits.shape[0])
-            l_qp = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-            l_pq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
-            loss = 0.5 * (l_qp.mean() + l_pq.mean())
-            acc = jnp.mean(jnp.argmax(logits, axis=1) == labels)
+            B = logits.shape[0]
+            labels = jnp.arange(B)
+            # Rows padded by cycling duplicate a real (q, p) pair, so their
+            # off-diagonal logit vs the original is exactly the positive's
+            # logit — unmaskable noise for InfoNCE.  Mask clone columns out
+            # of every other row's softmax and weight clone rows to zero.
+            eye = jnp.eye(B, dtype=bool)
+            clone_col = (valid[None, :] == 0) & ~eye
+            n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+
+            def masked_ce(L):
+                Lm = jnp.where(clone_col, -1e9, L)
+                ls = optax.softmax_cross_entropy_with_integer_labels(Lm, labels)
+                return jnp.sum(ls * valid) / n_valid
+
+            loss = 0.5 * (masked_ce(logits) + masked_ce(logits.T))
+            hits = (jnp.argmax(jnp.where(clone_col, -1e9, logits), axis=1) == labels)
+            acc = jnp.sum(hits * valid) / n_valid
             return loss, acc
 
-        def train_step(params, opt_state, q_ids, q_mask, p_ids, p_mask):
+        def train_step(params, opt_state, q_ids, q_mask, p_ids, p_mask, valid):
             (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, q_ids, q_mask, p_ids, p_mask
+                params, q_ids, q_mask, p_ids, p_mask, valid
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -139,9 +159,11 @@ class ContrastiveTrainer:
                 batch_sharding,
                 batch_sharding,
                 batch_sharding,
+                NamedSharding(mesh, P(data_axis)),
             ),
         )
         self._batch_sharding = batch_sharding
+        self._valid_sharding = NamedSharding(mesh, P(data_axis))
 
     # ------------------------------------------------------------------
     def make_train_step(self):
@@ -157,30 +179,35 @@ class ContrastiveTrainer:
         if len(queries) != len(positives):
             raise ValueError("queries and positives must align")
         n_data = self.mesh.shape[self.data_axis]
-        if len(queries) % n_data:
+        n_real = len(queries)
+        if n_real % n_data:
             # pad to a multiple of the data axis by cycling the batch
             # (a single slice can fall short when the batch is smaller
-            # than the pad); padded rows duplicate (q, p) PAIRS so their
-            # InfoNCE labels stay self-consistent
-            target = -(-len(queries) // n_data) * n_data
+            # than the pad); padded clone rows are masked out of the loss
+            target = -(-n_real // n_data) * n_data
             src_q, src_p = list(queries), list(positives)
-            queries = [src_q[i % len(src_q)] for i in range(target)]
-            positives = [src_p[i % len(src_p)] for i in range(target)]
+            queries = [src_q[i % n_real] for i in range(target)]
+            positives = [src_p[i % n_real] for i in range(target)]
+        valid = (np.arange(len(queries)) < n_real).astype(np.float32)
         q_ids, q_mask = self._tokenize(queries)
         p_ids, p_mask = self._tokenize(positives)
         q_ids = jax.device_put(q_ids, self._batch_sharding)
         q_mask = jax.device_put(q_mask, self._batch_sharding)
         p_ids = jax.device_put(p_ids, self._batch_sharding)
         p_mask = jax.device_put(p_mask, self._batch_sharding)
+        valid = jax.device_put(jnp.asarray(valid), self._valid_sharding)
         self.params, self.opt_state, loss, acc = self._train_step(
-            self.params, self.opt_state, q_ids, q_mask, p_ids, p_mask
+            self.params, self.opt_state, q_ids, q_mask, p_ids, p_mask, valid
         )
         self.step_count += 1
         return float(loss), float(acc)
 
     def sync_encoder(self) -> None:
-        """Publish trained params back into the serving encoder."""
-        self.encoder.params = self.params
+        """Publish trained params back into the serving encoder.
+
+        Publishes a COPY: the next ``step`` donates ``self.params``, which
+        would otherwise delete the serving encoder's buffers mid-query."""
+        self.encoder.params = jax.tree.map(jnp.copy, self.params)
 
     # ------------------------------------------------------------------
     # checkpoint / resume (orbax; SURVEY §5)

@@ -81,7 +81,14 @@ class ShardedIndex:
         self.axis = axis
         self.mesh = mesh if mesh is not None else make_index_mesh(axis=axis)
         self.S = self.mesh.devices.size
-        self.block_rows = block_rows
+        if block_rows < 1:
+            raise ValueError(f"block_rows must be >= 1, got {block_rows}")
+        # Round block_rows down to a power of two: cap_s is always pow2,
+        # and a non-dividing block_rows would make the kernel grid drop
+        # the tail cap_s % block_rows rows of every shard SILENTLY (the
+        # single-device wrapper raises; a perf knob must not change
+        # results).
+        self.block_rows = 1 << (block_rows.bit_length() - 1)
         self.fused_bin_width = fused_bin_width
         self.cap_s = max(_next_pow2((capacity + self.S - 1) // self.S), block_rows)
         self.count = 0
@@ -344,11 +351,20 @@ class ShardedIndex:
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
-        phys = np.asarray(self.E.astype(jnp.float32))  # (S, cap_s, d)
+        """Persist live rows, mirroring ``DeviceIndex.snapshot``: saved in
+        the stored dtype (bf16 halves the device->host fetch, the dominant
+        cost) and uncompressed (zlib on GB-scale near-random mantissas
+        costs minutes and saves almost nothing)."""
+        with self._lock:
+            phys = np.asarray(self.E)  # (S, cap_s, d) in store dtype
+            count = self.count
         glob = phys.transpose(1, 0, 2).reshape(self.capacity, self.dim)
-        np.savez_compressed(
-            path, embeddings=glob[: self.count], count=self.count, dim=self.dim
-        )
+        live = np.ascontiguousarray(glob[:count])
+        if self.store_dtype == "bfloat16":
+            np.savez(path, embeddings_bf16=live.view(np.uint16),
+                     count=count, dim=self.dim)
+        else:
+            np.savez(path, embeddings=live, count=count, dim=self.dim)
 
     @classmethod
     def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024):

@@ -118,6 +118,10 @@ class RAGHTTPServer:
                         )
                         self._send(200, {"ids": ids, "chunks": len(ids)})
                     elif self.path == "/feedback":
+                        missing = [k for k in ("query", "type") if k not in body]
+                        if missing:
+                            self._send(400, {"error": f"missing {missing}"})
+                            return
                         system.record_feedback(body["query"], body["type"])
                         self._send(200, {"recorded": True})
                     else:

@@ -161,6 +161,8 @@ def test_http_query_api(fake_config):
         # error paths
         code, out = post("/query", {})
         assert code == 400 and "missing" in out["error"]
+        code, out = post("/feedback", {"query": "kernels"})  # no 'type'
+        assert code == 400 and "type" in out["error"]
         code, _ = post("/nope", {})
         assert code == 404
         req = urllib.request.Request(base + "/query", data=b"not json{",

@@ -233,3 +233,38 @@ def test_sharded_bf16_store_dtype(rng, mesh8):
         recall = np.mean([len(set(rr[i]) & set(got[i])) / 10 for i in range(4)])
         assert recall >= 0.9, (tier, recall)
     assert idx.memory_bytes() < ref.memory_bytes() * 8  # bf16 phys halves
+
+
+def test_non_pow2_block_rows_scans_all_rows(rng, mesh8):
+    """ADVICE r1 (medium): a block_rows that doesn't divide the pow2 cap_s
+    silently skipped the tail rows of every shard.  It now rounds down to
+    a power of two, so results match the exact reference."""
+    E = normalized(rng, 4096, 64)
+    q = normalized(rng, 4, 64)
+    single = DeviceIndex(dim=64, tier="exact")
+    single.add(E)
+    _, ref = single.search(q, 10)
+    idx = ShardedIndex(dim=64, mesh=mesh8, tier="fused", block_rows=384)
+    assert idx.block_rows == 256
+    idx.add(E)
+    _, got = idx.search(q, 10)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_bf16_snapshot_roundtrip(rng, mesh8, tmp_path):
+    """ADVICE r1 (low): sharded snapshots now keep the stored dtype (bf16
+    saved as a uint16 bit view) instead of upcasting to f32+zlib."""
+    E = normalized(rng, 300, 32)
+    sharded = ShardedIndex(dim=32, mesh=mesh8, tier="exact", block_rows=256,
+                           store_dtype="bfloat16")
+    sharded.add(E)
+    p = str(tmp_path / "shard_snap_bf16.npz")
+    sharded.snapshot(p)
+    data = np.load(p)
+    assert "embeddings_bf16" in data and data["embeddings_bf16"].dtype == np.uint16
+    re_sharded = ShardedIndex.load(p, mesh=mesh8)
+    assert re_sharded.store_dtype == "bfloat16"
+    q = normalized(rng, 2, 32)
+    np.testing.assert_array_equal(
+        re_sharded.search(q, 5)[1], sharded.search(q, 5)[1]
+    )

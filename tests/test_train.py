@@ -97,6 +97,47 @@ def test_batch_padding_to_data_axis(tiny_encoder):
     assert np.isfinite(loss)
 
 
+def test_padded_clone_rows_masked_from_loss(tiny_encoder):
+    """A batch padded by cycling must produce the SAME loss as the unpadded
+    batch: clone rows/columns are masked out of InfoNCE (ADVICE r1)."""
+    mesh1 = make_train_mesh(1, 1, devices=cpu_mesh_devices(1))
+    trainer1 = ContrastiveTrainer(tiny_encoder, mesh1, learning_rate=0.0)
+    qs = [q for q, _ in PAIRS[:3]]
+    ps = [p for _, p in PAIRS[:3]]
+    loss_unpadded, acc_unpadded = trainer1.step(qs, ps)  # 3 rows, no pad
+
+    enc2 = MiniLMEncoder(
+        dim=64, max_seq_len=32, batch_size=16,
+        num_layers=2, num_heads=4, mlp_dim=128, vocab_size=1000,
+        dtype="float32",
+    )
+    mesh4 = make_train_mesh(4, 1, devices=cpu_mesh_devices(4))
+    trainer4 = ContrastiveTrainer(enc2, mesh4, learning_rate=0.0)
+    loss_padded, acc_padded = trainer4.step(qs, ps)  # pads 3 -> 4 rows
+    assert abs(loss_padded - loss_unpadded) < 1e-4, (loss_padded, loss_unpadded)
+    assert abs(acc_padded - acc_unpadded) < 1e-6
+
+
+def test_sync_encoder_survives_further_training(tiny_encoder):
+    """sync_encoder publishes a copy — the next donated step must not
+    delete the serving encoder's buffers (ADVICE r1: facade fine-tune)."""
+    mesh = make_train_mesh(2, 1, devices=cpu_mesh_devices(2))
+    trainer = ContrastiveTrainer(tiny_encoder, mesh, learning_rate=1e-3)
+    qs = [q for q, _ in PAIRS]
+    ps = [p for _, p in PAIRS]
+    trainer.step(qs, ps)
+    trainer.sync_encoder()
+    emb_before = tiny_encoder.encode(["probe sentence"])
+    trainer.step(qs, ps)  # donates trainer.params again
+    emb_after = tiny_encoder.encode(["probe sentence"])  # must not crash
+    np.testing.assert_allclose(emb_before, emb_after, atol=1e-6)
+    # and a SECOND trainer over the same encoder is safe too
+    trainer2 = ContrastiveTrainer(tiny_encoder, mesh, learning_rate=1e-3)
+    trainer2.step(qs, ps)
+    emb_after2 = tiny_encoder.encode(["probe sentence"])
+    np.testing.assert_allclose(emb_before, emb_after2, atol=1e-6)
+
+
 def test_mismatched_pairs_raise(tiny_encoder):
     mesh = make_train_mesh(1, 1, devices=cpu_mesh_devices(1))
     trainer = ContrastiveTrainer(tiny_encoder, mesh)
