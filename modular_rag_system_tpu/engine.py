@@ -424,55 +424,61 @@ class RAGEngine:
 
             fn = jax.jit(packed)
             self._fused_query_cache[key] = fn
-        if sharded:
-            E_in, sc_in = self.index.search_inputs()
-        else:
-            sc_in = jnp.zeros((1, 1), jnp.float32)
-            E_in = self.index.E
-            if tier == "bf16" and self.index.store_dtype != "bfloat16":
-                # store already bf16 -> E works directly; otherwise keep a
-                # lazily-cast copy (dirty-invalidated)
-                if self.index._quant_dirty or self.index._E_bf16 is None:
-                    self.index._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(
-                        self.index.E
-                    )
-                    self.index._quant_dirty = False
-                E_in = self.index._E_bf16
-        out = np.asarray(
-            fn(
+        # Snapshot (E, scales, count) AND dispatch under the index lock:
+        # a concurrent add both mutates count and DONATES the old E buffer
+        # (``ops.exact.append_rows``), so an unlocked reader can pass an
+        # already-deleted array handle into the program.  Dispatch is
+        # async — in-flight executions pin their input buffers — so only
+        # the result fetch happens outside the lock.
+        with self.index._lock:
+            if sharded:
+                E_in, sc_in = self.index.search_inputs()
+            else:
+                sc_in = jnp.zeros((1, 1), jnp.float32)
+                E_in = self.index.E
+                if tier == "bf16" and self.index.store_dtype != "bfloat16":
+                    # store already bf16 -> E works directly; otherwise
+                    # keep a lazily-cast copy (dirty-invalidated)
+                    if self.index._quant_dirty or self.index._E_bf16 is None:
+                        self.index._E_bf16 = jax.jit(
+                            lambda e: e.astype(jnp.bfloat16)
+                        )(self.index.E)
+                        self.index._quant_dirty = False
+                    E_in = self.index._E_bf16
+            out_dev = fn(
                 E_in,
                 sc_in,
                 self.index.count_device(),
                 jnp.asarray(ids),
                 jnp.asarray(mask),
             )
-        )
+        out = np.asarray(out_dev)
         scores = out[:Q, :k].view(np.float32)
         rows = out[:Q, k:]
         return scores, rows
 
-    def _retrieve(self, q: Query) -> RetrievalResult:
-        if self.index.count == 0:
-            return RetrievalResult([], [], None, 0.0, 0)
-        overfetch = self.config.index.overfetch if (q.source_filters or q.metadata_filters) else 2
-        k = min(max(q.max_results * overfetch, q.max_results), self.index.count)
+    # ------------------------------------------------------------------
+    # shared search + post-processing (query and query_batch MUST return
+    # identical results for identical inputs — VERDICT r1 item 5)
+    def _search_batch(self, texts: List[str], k: int):
+        """(scores (Q,k), rows (Q,k), q_emb (Q,d) or None) via the fused
+        device program when available, else encode + index.search."""
         fused = retry_transient(
-            lambda: self._device_query([q.text], k), what="fused query"
+            lambda: self._device_query(texts, k), what="fused query"
         )
         if fused is not None:
             scores, rows = fused
-            scores, rows = scores[0], rows[0]
-            q_emb = None
-        else:
-            q_emb = np.asarray(self.encoder.encode_queries([q.text]))[0]
-            scores, rows = self.index.search(q_emb[None, :], k)
-            scores, rows = scores[0], rows[0]
+            return scores, rows, None
+        q_emb = np.asarray(self.encoder.encode_queries(texts))
+        scores, rows = self.index.search(q_emb, k)
+        return scores, rows, q_emb
 
+    def _postprocess_rows(self, q: Query, scores, rows, by_row, now: float):
+        """Filter + rank one query's candidate rows exactly as query() does."""
         docs: List[Document] = []
         sims: List[float] = []
-        now = time.time()
-        fetched = self.store.get_by_rows([int(r) for r in rows if r >= 0])
-        for score, doc in zip(scores, fetched):
+        for score, r in zip(scores, rows):
+            doc = by_row.get(int(r)) if r >= 0 else None
             if doc is None or not np.isfinite(score):
                 continue  # deleted / padded slot
             sim = float(np.clip(score, 0.0, 1.0))  # clamp parity:
@@ -493,10 +499,39 @@ class RAGEngine:
             recency = float(np.exp(-age_days / 7.0))
             sims.append((1.0 - q.time_weight) * sim + q.time_weight * recency)
         order = np.argsort(sims)[::-1][: q.max_results]
+        return [docs[i] for i in order], [sims[i] for i in order]
+
+    def _fetch_by_row(self, rows) -> Dict[int, Document]:
+        flat = sorted({int(r) for r in np.asarray(rows).ravel() if r >= 0})
+        return {r: d for r, d in zip(flat, self.store.get_by_rows(flat))}
+
+    def _initial_k(self, max_results: int, filters_active: bool) -> int:
+        overfetch = self.config.index.overfetch if filters_active else 2
+        return min(max(max_results * overfetch, max_results), self.index.count)
+
+    def _retrieve(self, q: Query) -> RetrievalResult:
+        if self.index.count == 0:
+            return RetrievalResult([], [], None, 0.0, 0)
+        filters_active = bool(q.source_filters or q.metadata_filters)
+        k = self._initial_k(q.max_results, filters_active)
+        while True:
+            scores, rows, q_emb = self._search_batch([q.text], k)
+            by_row = self._fetch_by_row(rows)
+            docs, sims = self._postprocess_rows(
+                q, scores[0], rows[0], by_row, time.time()
+            )
+            # Overfetch-with-refill: a selective source/metadata filter can
+            # consume the whole candidate set; rescan deeper rather than
+            # silently under-returning (the reference pushed ``where``
+            # filters into Chroma, ``ollama_rag_system.py:416-421``).
+            # Threshold misses never refill: scores only fall with depth.
+            if len(docs) >= q.max_results or not filters_active or k >= self.index.count:
+                break
+            k = min(k * 4, self.index.count)
         return RetrievalResult(
-            documents=[docs[i] for i in order],
-            similarities=[sims[i] for i in order],
-            query_embedding=q_emb,
+            documents=docs,
+            similarities=sims,
+            query_embedding=q_emb[0] if q_emb is not None else None,
             retrieval_time=0.0,
             total_documents_searched=self.index.count,
         )
@@ -508,35 +543,64 @@ class RAGEngine:
         s["total_queries"] = n + 1
 
     # ------------------------------------------------------------------
-    # batch query (the TPU-native addition: many queries, one forward)
-    def query_batch(self, texts: Sequence[str], max_results: int = 5) -> List[RetrievalResult]:
+    # batch query (the TPU-native addition: many queries, one forward).
+    # Same semantics as query(): threshold, source/metadata filters and
+    # time_weight all honored, with overfetch-and-refill under filters.
+    def query_batch(
+        self,
+        texts: Sequence[str],
+        max_results: int = 5,
+        source_filters: Optional[List[str]] = None,
+        similarity_threshold: Optional[float] = None,
+        time_weight: Optional[float] = None,
+        metadata_filters: Optional[Dict[str, Any]] = None,
+    ) -> List[RetrievalResult]:
         if self.index.count == 0 or not texts:
             return [RetrievalResult([], [], None, 0.0, 0) for _ in texts]
+        r = self.config.retrieval
+        queries = [
+            Query(
+                text=t,
+                max_results=max_results,
+                similarity_threshold=(
+                    similarity_threshold
+                    if similarity_threshold is not None
+                    else r.similarity_threshold
+                ),
+                time_weight=time_weight if time_weight is not None else r.time_weight,
+                source_filters=source_filters,
+                metadata_filters=metadata_filters,
+            )
+            for t in texts
+        ]
+        filters_active = bool(source_filters or metadata_filters)
+        k = self._initial_k(max_results, filters_active)
         t0 = time.perf_counter()
-        k = min(max_results, self.index.count)
-        fused = self._device_query(list(texts), k)
-        if fused is not None:
-            scores, rows = fused
-            q_emb = np.zeros((len(texts), self.index.dim), np.float32)
-        else:
-            q_emb = np.asarray(self.encoder.encode_queries(list(texts)))
-            scores, rows = self.index.search(q_emb, k)
+        while True:
+            scores, rows, q_emb = self._search_batch(list(texts), k)
+            # ONE store round-trip for all queries' rows (not one per query)
+            by_row = self._fetch_by_row(rows)
+            now = time.time()
+            per_q = [
+                self._postprocess_rows(q, scores[qi], rows[qi], by_row, now)
+                for qi, q in enumerate(queries)
+            ]
+            if (
+                all(len(docs) >= max_results for docs, _ in per_q)
+                or not filters_active
+                or k >= self.index.count
+            ):
+                break
+            k = min(k * 4, self.index.count)
         dt = time.perf_counter() - t0
-        # ONE store round-trip for all queries' rows (not one per query)
-        flat_rows = sorted({int(r) for r in rows.ravel() if r >= 0})
-        fetched = self.store.get_by_rows(flat_rows)
-        by_row = {r: d for r, d in zip(flat_rows, fetched)}
-        out = []
-        for qi in range(len(texts)):
-            docs, sims = [], []
-            for score, r in zip(scores[qi], rows[qi]):
-                doc = by_row.get(int(r)) if r >= 0 else None
-                if doc is None or not np.isfinite(score):
-                    continue
-                docs.append(doc)
-                sims.append(float(np.clip(score, 0.0, 1.0)))
-            out.append(RetrievalResult(docs, sims, q_emb[qi], dt, self.index.count))
-        return out
+        return [
+            RetrievalResult(
+                docs, sims,
+                q_emb[qi] if q_emb is not None else None,
+                dt, self.index.count,
+            )
+            for qi, (docs, sims) in enumerate(per_q)
+        ]
 
     # ------------------------------------------------------------------
     # enhanced context (reference ``get_enhanced_context``,

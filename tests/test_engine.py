@@ -298,3 +298,100 @@ def test_ivf_with_shards_rejected_at_init(fake_config):
 
     with pytest.raises(ValueError, match="ivf"):
         RAGEngine(cfg)
+
+
+def test_query_batch_matches_query_under_filters(fake_config):
+    """VERDICT r1 item 5: query() and query_batch() must return identical
+    results for identical inputs — threshold, filters, and time_weight."""
+    eng = make_engine(fake_config)
+    texts = ["programming language", "fox jumps dog", "stock market"]
+    kwargs = dict(
+        max_results=3,
+        source_filters=["tech", "finance"],
+        similarity_threshold=0.01,
+        time_weight=0.3,
+    )
+    singles = [eng.query(t, **kwargs) for t in texts]
+    batch = eng.query_batch(texts, **kwargs)
+    for s, b in zip(singles, batch):
+        assert [d.id for d in s.documents] == [d.id for d in b.documents]
+        np.testing.assert_allclose(s.similarities, b.similarities, atol=2e-4)
+
+
+def test_filtered_query_refills_deep_matches(fake_config):
+    """VERDICT r1 item 4: a selective source filter must not silently
+    under-return when matching docs sit deeper than the first overfetch."""
+    eng = RAGEngine(fake_config)
+    # 40 near-identical decoys crowd the top of the ranking...
+    for i in range(40):
+        eng.add_document(f"banana banana banana smoothie recipe {i}", source="decoy")
+    # ...and 5 rare-source docs share fewer query terms, ranking below them
+    for i in range(5):
+        eng.add_document(f"banana plantation logistics report volume {i}",
+                         source="rare")
+    res = eng.query("banana banana banana smoothie recipe", max_results=5,
+                    source_filters=["rare"], similarity_threshold=0.0)
+    assert len(res.documents) == 5, [d.content for d in res.documents]
+    assert all(d.source == "rare" for d in res.documents)
+    batch = eng.query_batch(["banana banana banana smoothie recipe"],
+                            max_results=5, source_filters=["rare"],
+                            similarity_threshold=0.0)
+    assert [d.id for d in batch[0].documents] == [d.id for d in res.documents]
+
+
+def test_fused_path_concurrent_writer_stress(tmp_storage):
+    """VERDICT r1 item 6: the fused device-query path snapshots (E, count)
+    under the index lock — a concurrent add must never surface a row id
+    beyond the store's row count at fetch time."""
+    import threading
+
+    from modular_rag_system_tpu.config import RAGConfig
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "dim": 64, "max_seq_len": 32,
+                      "batch_size": 8, "num_layers": 2, "num_heads": 4,
+                      "mlp_dim": 128, "vocab_size": 1000, "dtype": "float32"},
+        "store": {"storage_path": tmp_storage},
+        "retrieval": {"similarity_threshold": 0.0},
+    })
+    eng = RAGEngine(cfg)
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    eng.query("warm the fused program", max_results=3)
+    assert eng._fused_query_cache, "fused path was not used"
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            i = 0
+            while not stop.is_set() and i < 200:
+                eng.add_document(f"streamed doc number {i} with words", source="w")
+                i += 1
+        except Exception as exc:
+            errors.append(exc)
+
+    def reader():
+        try:
+            for _ in range(60):
+                out = eng._device_query(["streamed doc with words"], 4)
+                if out is None:
+                    continue
+                _, rows = out
+                max_store_row = eng.store.count() + 64  # generous slack
+                assert rows.max() < max_store_row
+                res = eng.query("streamed doc with words", max_results=4)
+                for d in res.documents:
+                    assert d is not None
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)]
+    threads += [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    stop.set()
+    assert not errors, errors
+    eng.shutdown()
