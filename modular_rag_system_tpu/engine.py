@@ -437,13 +437,14 @@ class RAGEngine:
                 sc_in = jnp.zeros((1, 1), jnp.float32)
                 E_in = self.index.E
                 if tier == "bf16" and self.index.store_dtype != "bfloat16":
-                    # store already bf16 -> E works directly; otherwise
-                    # keep a lazily-cast copy (dirty-invalidated)
-                    if self.index._quant_dirty or self.index._E_bf16 is None:
+                    # store already bf16 -> E works directly; otherwise a
+                    # lazily-built copy that writes keep in sync
+                    # incrementally (None only before first use / on grow)
+                    if self.index._E_bf16 is None:
                         self.index._E_bf16 = jax.jit(
                             lambda e: e.astype(jnp.bfloat16)
                         )(self.index.E)
-                        self.index._quant_dirty = False
+                        self.index.derived_rebuilds += 1
                     E_in = self.index._E_bf16
             out_dev = fn(
                 E_in,

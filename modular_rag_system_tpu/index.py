@@ -75,12 +75,17 @@ class DeviceIndex:
         self.count = 0
         self._lock = threading.RLock()
         self.E = jnp.zeros((self.capacity, dim), dtype=self._jdtype)
-        # int8 tier state (built lazily by freeze()/refresh)
+        # Derived tier copies.  Invariant: when non-None they are IN SYNC
+        # with E — writes update them incrementally (O(batch), not
+        # O(capacity)); capacity growth drops them to None for a lazy
+        # full rebuild at next use (VERDICT r1 item 7).
         self._E_q: Optional[jax.Array] = None  # (capacity, d) int8
-        self._scales: Optional[jax.Array] = None  # (capacity,) f32
+        self._scales: Optional[jax.Array] = None  # (capacity, 1) f32
         self._E_bf16: Optional[jax.Array] = None  # (capacity, d) bf16
         self._count_dev: Optional[jax.Array] = None  # cached device scalar
-        self._quant_dirty = True
+        # observability: incremental rows maintained vs full rebuilds
+        self.derived_incremental_rows = 0
+        self.derived_rebuilds = 0
         # ivf tier state
         self._ivf = None
 
@@ -110,9 +115,9 @@ class DeviceIndex:
                 host[:n] = mat
                 buf = jnp.asarray(host, dtype=self._jdtype)
             self.E = exact_ops.append_rows(self.E, buf, jnp.int32(self.count))
+            self._update_derived_append(buf, self.count)
             self.count += n
             self._count_dev = None
-            self._quant_dirty = True
             self._ivf = None
             return first, n
 
@@ -124,7 +129,8 @@ class DeviceIndex:
         self.E = jnp.zeros((new_cap, self.dim), dtype=self._jdtype)
         self.E = exact_ops.append_rows(self.E, old, jnp.int32(0))
         self.capacity = new_cap
-        self._quant_dirty = True
+        # shapes changed: derived copies rebuild lazily at next use
+        self._E_q = self._scales = self._E_bf16 = None
         self._ivf = None
 
     def delete_rows(self, rows: np.ndarray) -> None:
@@ -132,7 +138,9 @@ class DeviceIndex:
             return
         with self._lock:
             self.E = exact_ops.zero_rows(self.E, jnp.asarray(rows, dtype=jnp.int32))
-            self._quant_dirty = True
+            self._update_derived_rows(
+                rows, np.zeros((len(rows), self.dim), np.float32)
+            )
             self._ivf = None
 
     def count_device(self) -> jax.Array:
@@ -152,8 +160,55 @@ class DeviceIndex:
                 jnp.asarray(rows, dtype=jnp.int32),
                 jnp.asarray(mat, dtype=jnp.float32),
             )
-            self._quant_dirty = True
+            self._update_derived_rows(rows, mat)
             self._ivf = None
+
+    # ------------------------------------------------------------------
+    # derived tier maintenance (int8 / bf16 copies of E)
+    def _update_derived_append(self, buf: jax.Array, start: int) -> None:
+        """Sync derived copies for appended rows [start, start+len(buf)).
+
+        ``buf`` is the padded device batch already cast to the store
+        dtype, so incremental quantization sees exactly the values a full
+        rebuild from E would."""
+        if self._E_q is not None:
+            from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
+
+            qv, sc = quantize_rows_jit(buf.astype(jnp.float32))
+            self._E_q = exact_ops.append_rows(self._E_q, qv, jnp.int32(start))
+            self._scales = exact_ops.append_rows(self._scales, sc, jnp.int32(start))
+            self.derived_incremental_rows += int(buf.shape[0])
+        if self._E_bf16 is not None and self.store_dtype != "bfloat16":
+            self._E_bf16 = exact_ops.append_rows(
+                self._E_bf16, buf.astype(jnp.bfloat16), jnp.int32(start)
+            )
+            self.derived_incremental_rows += int(buf.shape[0])
+
+    def _update_derived_rows(self, rows, mat) -> None:
+        """Scatter-sync derived copies for arbitrary rows (set/delete)."""
+        if self._E_q is None and self._E_bf16 is None:
+            return
+        r = np.asarray(rows, dtype=np.int32)
+        m = np.asarray(mat, dtype=np.float32)
+        # pad to pow2 to bound recompiles; duplicated scatter indices
+        # write identical values, so the redundancy is harmless
+        padded = _next_pow2(len(r))
+        if padded != len(r):
+            r = np.concatenate([r, np.repeat(r[:1], padded - len(r))])
+            m = np.concatenate([m, np.repeat(m[:1], padded - len(m), axis=0)])
+        rj = jnp.asarray(r)
+        # round-trip through the store dtype so values match E's rows
+        mj = jnp.asarray(m).astype(self._jdtype).astype(jnp.float32)
+        if self._E_q is not None:
+            from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
+
+            qv, sc = quantize_rows_jit(mj)
+            self._E_q = _scatter_rows_2d(self._E_q, rj, qv)
+            self._scales = _scatter_rows_2d(self._scales, rj, sc)
+            self.derived_incremental_rows += len(rows)
+        if self._E_bf16 is not None and self.store_dtype != "bfloat16":
+            self._E_bf16 = _scatter_rows_2d(self._E_bf16, rj, mj.astype(jnp.bfloat16))
+            self.derived_incremental_rows += len(rows)
 
     # ------------------------------------------------------------------
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -205,9 +260,9 @@ class DeviceIndex:
                 self.E, self.count_device(), qj, k,
                 block_rows=self.block_rows, bin_width=self.fused_bin_width,
             )
-        if self._quant_dirty or self._E_bf16 is None:
+        if self._E_bf16 is None:
             self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
-            self._quant_dirty = False
+            self.derived_rebuilds += 1
         return fused_topk(
             self._E_bf16, self.count_device(), qj, k,
             block_rows=self.block_rows, bin_width=self.fused_bin_width,
@@ -217,9 +272,9 @@ class DeviceIndex:
         from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
         from modular_rag_system_tpu.ops.quantize import quantize_rows
 
-        if self._quant_dirty or self._E_q is None:
+        if self._E_q is None:
             self._E_q, self._scales = quantize_rows(self.E)
-            self._quant_dirty = False
+            self.derived_rebuilds += 1
         return fused_topk_int8(
             self._E_q, self._scales, self.count_device(), qj, k,
             block_rows=self.block_rows, bin_width=self.fused_bin_width,
@@ -277,3 +332,12 @@ class DeviceIndex:
     @staticmethod
     def exists_snapshot(path: str) -> bool:  # pragma: no cover - trivial
         return Path(path).exists()
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_2d(A: jax.Array, rows: jax.Array, vals: jax.Array) -> jax.Array:
+    """In-place (donated) row scatter for derived tier copies."""
+    return A.at[rows].set(vals)

@@ -22,6 +22,10 @@ def quantize_rows_jit(x: jax.Array):
     Zero rows get scale 0 (dequantizes to exactly 0 — deleted rows stay
     dead).
     """
+    # compute in f32 whatever the store dtype: the convert fuses into the
+    # elementwise pipeline, and incremental updates (which quantize f32
+    # batch values) then agree bit-for-bit with full rebuilds from a bf16 E
+    x = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     scale = absmax / 127.0
     safe = jnp.where(scale > 0, scale, 1.0)

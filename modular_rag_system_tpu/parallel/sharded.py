@@ -98,10 +98,14 @@ class ShardedIndex:
         self.E = jax.device_put(
             jnp.zeros((self.S, self.cap_s, dim), self._jdtype), self._row_sharding
         )
+        # Derived tier copies.  Invariant mirrors DeviceIndex: non-None
+        # means in sync with E (writes scatter-update them, O(batch));
+        # capacity growth drops them for a lazy full rebuild.
         self._E_q = None  # (S, cap_s, d) int8
         self._scales = None  # (S, cap_s) f32
         self._E_bf16 = None  # (S, cap_s, d) bf16
-        self._quant_dirty = True
+        self.derived_incremental_rows = 0
+        self.derived_rebuilds = 0
         self._search_cache: Dict[Tuple, callable] = {}
         self._dummy_scales = None
         self._count_dev = None
@@ -132,9 +136,9 @@ class ShardedIndex:
                 jnp.asarray(j_idx, jnp.int32),
                 jnp.asarray(mat).astype(self._jdtype),
             )
+            self._update_derived_scatter(s_idx, j_idx, mat)
             self.count += n
             self._count_dev = None
-            self._quant_dirty = True
             return first, n
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -149,7 +153,8 @@ class ShardedIndex:
         )(grown, old)
         self.E = grown
         self.cap_s = new_cap_s
-        self._quant_dirty = True
+        # shapes changed: derived copies rebuild lazily at next use
+        self._E_q = self._scales = self._E_bf16 = None
         self._search_cache.clear()
 
     def delete_rows(self, rows: np.ndarray) -> None:
@@ -164,7 +169,9 @@ class ShardedIndex:
                 jnp.asarray(j_idx, jnp.int32),
                 zeros,
             )
-            self._quant_dirty = True
+            self._update_derived_scatter(
+                s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
+            )
 
     def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
@@ -178,11 +185,32 @@ class ShardedIndex:
                 jnp.asarray(j_idx, jnp.int32),
                 jnp.asarray(mat).astype(self._jdtype),
             )
-            self._quant_dirty = True
+            self._update_derived_scatter(s_idx, j_idx, mat)
+
+    # ------------------------------------------------------------------
+    def _update_derived_scatter(self, s_idx, j_idx, mat) -> None:
+        """Sync derived tier copies for written rows — O(batch) scatter
+        instead of a full-capacity requantization (VERDICT r1 item 7)."""
+        if self._E_q is None and self._E_bf16 is None:
+            return
+        si = jnp.asarray(s_idx, jnp.int32)
+        ji = jnp.asarray(j_idx, jnp.int32)
+        # round-trip through the store dtype so values match E's rows
+        vals = jnp.asarray(mat, jnp.float32).astype(self._jdtype).astype(jnp.float32)
+        if self._E_q is not None:
+            qv, sc = quantize_rows_jit(vals)
+            self._E_q = _scatter_rows(self._E_q, si, ji, qv)
+            self._scales = _scatter_scales(self._scales, si, ji, sc[:, 0])
+            self.derived_incremental_rows += int(len(s_idx))
+        if self._E_bf16 is not None and self.store_dtype != "bfloat16":
+            self._E_bf16 = _scatter_rows(
+                self._E_bf16, si, ji, vals.astype(jnp.bfloat16)
+            )
+            self.derived_incremental_rows += int(len(s_idx))
 
     # ------------------------------------------------------------------
     def _refresh_quant(self) -> None:
-        if not self._quant_dirty and self._E_q is not None:
+        if self._E_q is not None:
             return
 
         @jax.jit
@@ -197,7 +225,7 @@ class ShardedIndex:
         self._E_q, self._scales = jax.jit(
             _q, out_shardings=(self._row_sharding, self._scale_sharding)
         )(self.E)
-        self._quant_dirty = False
+        self.derived_rebuilds += 1
 
     # ------------------------------------------------------------------
     def _build_search(self, Qp: int, k: int):
@@ -296,12 +324,12 @@ class ShardedIndex:
                         self._scale_sharding,
                     )
                 return self.E, self._dummy_scales
-            if self._quant_dirty or self._E_bf16 is None:
+            if self._E_bf16 is None:
                 self._E_bf16 = jax.jit(
                     lambda e: e.astype(jnp.bfloat16),
                     out_shardings=self._row_sharding,
                 )(self.E)
-                self._quant_dirty = False
+                self.derived_rebuilds += 1
         if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
             self._dummy_scales = jax.device_put(
                 jnp.zeros((self.S, self.cap_s), jnp.float32),
@@ -394,6 +422,16 @@ class ShardedIndex:
         return b
 
 
-@jax.jit
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(E_phys, s_idx, j_idx, batch):
+    """In-place (donated) row scatter — readers snapshot AND dispatch
+    under the index lock, so donation can't invalidate an in-flight use."""
     return E_phys.at[s_idx, j_idx].set(batch)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_scales(scales, s_idx, j_idx, vals):
+    return scales.at[s_idx, j_idx].set(vals)

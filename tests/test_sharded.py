@@ -268,3 +268,31 @@ def test_sharded_bf16_snapshot_roundtrip(rng, mesh8, tmp_path):
     np.testing.assert_array_equal(
         re_sharded.search(q, 5)[1], sharded.search(q, 5)[1]
     )
+
+
+def test_sharded_derived_tiers_update_incrementally(rng, mesh8):
+    """Sharded analog of the O(B) derived-tier maintenance."""
+    E = normalized(rng, 600, 64)
+    q = E[:4]
+    for tier in ("int8", "bf16"):
+        idx = ShardedIndex(dim=64, mesh=mesh8, capacity=8192, tier=tier,
+                           block_rows=64)
+        idx.add(E[:500])
+        idx.search(q, 5)
+        assert idx.derived_rebuilds == 1
+        base = idx.derived_incremental_rows
+        idx.add(E[500:])
+        idx.delete_rows(np.array([3]))
+        idx.set_rows(np.array([7]), E[7:8] * 0.5)
+        assert idx.derived_rebuilds == 1
+        assert 0 < idx.derived_incremental_rows - base <= 128 + 2
+
+        fresh = ShardedIndex(dim=64, mesh=mesh8, capacity=8192, tier=tier,
+                             block_rows=64)
+        fresh.add(E)
+        fresh.delete_rows(np.array([3]))
+        fresh.set_rows(np.array([7]), E[7:8] * 0.5)
+        sv, sr = fresh.search(q, 5)
+        iv, ir = idx.search(q, 5)
+        np.testing.assert_array_equal(ir, sr)
+        np.testing.assert_allclose(iv, sv, atol=1e-6)
