@@ -89,6 +89,9 @@ class RAGEngine:
                 block_rows=self.config.index.block_rows,
                 fused_bin_width=self.config.index.fused_bin_width,
                 store_dtype=self.config.index.store_dtype,
+                ivf_clusters=self.config.index.ivf_clusters,
+                ivf_nprobe=self.config.index.ivf_nprobe,
+                ivf_iters=self.config.index.ivf_iters,
             )
         else:
             self.index = DeviceIndex(
@@ -679,6 +682,9 @@ class RAGEngine:
                 block_rows=self.index.block_rows,
                 fused_bin_width=self.index.fused_bin_width,
                 store_dtype=self.index.store_dtype,
+                ivf_clusters=self.index.ivf_clusters,
+                ivf_nprobe=self.index.ivf_nprobe,
+                ivf_iters=self.index.ivf_iters,
             )
         else:
             self.index = DeviceIndex(

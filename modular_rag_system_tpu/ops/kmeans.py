@@ -90,3 +90,92 @@ def init_centroids_from_rows(E: np.ndarray, count: int, n_clusters: int) -> np.n
     init = init + rng.standard_normal(init.shape).astype(np.float32) * 1e-4
     norms = np.linalg.norm(init, axis=1, keepdims=True)
     return init / np.maximum(norms, 1e-12)
+
+
+def kmeans_fit_sharded(E_phys, count, init_centroids, mesh, axis,
+                       iters: int = 10, batch: int = 65536):
+    """SPMD Lloyd's over a mesh-sharded (S, cap_s, d) matrix.
+
+    The scaling-book recipe: each shard computes partial cluster sums and
+    counts over its local rows, ``psum`` over the index axis (or both
+    axes of a hierarchical (dcn, ici) mesh) reduces them, and the
+    centroid update replicates — no corpus row ever crosses a device
+    boundary, only (C, d) partials ride the interconnect per iteration.
+
+    ``axis`` is a mesh-axis name or a (dcn, ici) tuple, matching
+    ``ShardedIndex`` conventions (shard s owns global rows j*S + s).
+
+    Returns (centroids (C, d) f32 replicated, labels (S, cap_s) i32
+    sharded, -1 for dead rows).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    S = 1
+    for a in axes:
+        S *= mesh.shape[a]
+    C, d = init_centroids.shape
+    cap_s = E_phys.shape[1]
+    b = min(batch, cap_s)
+    nb = (cap_s + b - 1) // b
+
+    def body(E_blk, count_g, cents0):
+        E_s = E_blk[0]  # (cap_s, d)
+        sid = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+        count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
+        pad = nb * b - cap_s
+        E_p = jnp.pad(E_s.astype(jnp.float32), ((0, pad), (0, 0)))
+        rid = jax.lax.broadcasted_iota(jnp.int32, (nb * b, 1), 0)[:, 0]
+        valid = (rid < count_s).astype(jnp.float32)
+        E_b = E_p.reshape(nb, b, d)
+        v_b = valid.reshape(nb, b)
+
+        def lloyd_iter(cents, _):
+            def acc(carry, xs):
+                sums, counts = carry
+                rows, v = xs
+                scores = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
+                onehot = jax.nn.one_hot(
+                    jnp.argmax(scores, axis=1), C, dtype=jnp.float32
+                ) * v[:, None]
+                sums = sums + jnp.dot(onehot.T, rows,
+                                      preferred_element_type=jnp.float32)
+                return (sums, counts + jnp.sum(onehot, axis=0)), None
+
+            (sums, counts), _ = jax.lax.scan(
+                acc,
+                (jnp.zeros((C, d), jnp.float32), jnp.zeros((C,), jnp.float32)),
+                (E_b, v_b),
+            )
+            for a in axes:  # the only cross-device traffic: (C, d) partials
+                sums = jax.lax.psum(sums, a)
+                counts = jax.lax.psum(counts, a)
+            new = sums / jnp.maximum(counts[:, None], 1.0)
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12
+            )
+            return jnp.where(counts[:, None] > 0, new, cents), None
+
+        cents, _ = jax.lax.scan(lloyd_iter, cents0, None, length=iters)
+
+        def label_batch(_, xs):
+            rows, v = xs
+            scores = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
+            lab = jnp.argmax(scores, axis=1).astype(jnp.int32)
+            return None, jnp.where(v > 0, lab, -1)
+
+        _, lb = jax.lax.scan(label_batch, None, (E_b, v_b))
+        return cents, lb.reshape(-1)[:cap_s][None]
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(), P()),
+        out_specs=(P(), P(axis, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        E_phys, jnp.int32(count), jnp.asarray(init_centroids, jnp.float32)
+    )

@@ -61,14 +61,17 @@ class ShardedIndex:
         axis="index",
         fused_bin_width=None,
         store_dtype: str = "float32",
+        ivf_clusters: Optional[int] = None,
+        ivf_nprobe: int = 8,
+        ivf_iters: int = 10,
     ) -> None:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
         on a 2-D multi-slice mesh (``make_hierarchical_index_mesh``)."""
-        if tier not in ("exact", "fused", "bf16", "int8"):
+        if tier not in ("exact", "fused", "bf16", "int8", "ivf"):
             raise ValueError(
                 f"ShardedIndex does not support tier {tier!r} "
-                f"(choose exact/fused/bf16/int8; ivf is single-device only)"
+                f"(choose exact/fused/bf16/int8/ivf)"
             )
         self.dim = dim
         self.tier = tier
@@ -109,6 +112,13 @@ class ShardedIndex:
         self._search_cache: Dict[Tuple, callable] = {}
         self._dummy_scales = None
         self._count_dev = None
+        # ivf tier state: (centroids (C, d) replicated, table (S, C, capb)
+        # sharded of LOCAL row positions); rebuilt lazily after any write
+        self.ivf_clusters = ivf_clusters
+        self.ivf_nprobe = ivf_nprobe
+        self.ivf_iters = ivf_iters
+        self._sivf = None
+        self._sivf_version = 0
 
     # ------------------------------------------------------------------
     @property
@@ -139,6 +149,7 @@ class ShardedIndex:
             self._update_derived_scatter(s_idx, j_idx, mat)
             self.count += n
             self._count_dev = None
+            self._sivf = None
             return first, n
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -155,6 +166,7 @@ class ShardedIndex:
         self.cap_s = new_cap_s
         # shapes changed: derived copies rebuild lazily at next use
         self._E_q = self._scales = self._E_bf16 = None
+        self._sivf = None
         self._search_cache.clear()
 
     def delete_rows(self, rows: np.ndarray) -> None:
@@ -172,6 +184,7 @@ class ShardedIndex:
             self._update_derived_scatter(
                 s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
             )
+            self._sivf = None
 
     def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
@@ -186,6 +199,7 @@ class ShardedIndex:
                 jnp.asarray(mat).astype(self._jdtype),
             )
             self._update_derived_scatter(s_idx, j_idx, mat)
+            self._sivf = None
 
     # ------------------------------------------------------------------
     def _update_derived_scatter(self, s_idx, j_idx, mat) -> None:
@@ -228,6 +242,99 @@ class ShardedIndex:
         self.derived_rebuilds += 1
 
     # ------------------------------------------------------------------
+    def _build_sivf(self) -> None:
+        """Build the sharded IVF structure (VERDICT r1 item 3): SPMD
+        k-means over the mesh, then a PER-SHARD device bucket fill over
+        local row positions.  Centroids replicate; only (C, d) partials
+        cross the interconnect during clustering."""
+        if self._sivf is not None:
+            return
+        from jax.sharding import PartitionSpec as P
+
+        from modular_rag_system_tpu.ops.ivf import (
+            IVFIndex,
+            _greedy_overflow_assign,
+            bucket_fill_core,
+        )
+        from modular_rag_system_tpu.ops.kmeans import kmeans_fit_sharded
+
+        count, S, axis = self.count, self.S, self.axis
+        C = self.ivf_clusters
+        if C is None:
+            C = int(max(8, min(max(count, 1), round(max(count, 1) ** 0.5))))
+        C = min(C, max(count, 1))
+        # seeds: evenly-spaced GLOBAL rows, gathered on device
+        if count:
+            seed_g = np.linspace(0, count - 1, C).astype(np.int64)
+            s_idx, j_idx = self._phys_pos(seed_g)
+            seeds = np.asarray(
+                self.E[jnp.asarray(s_idx), jnp.asarray(j_idx)], dtype=np.float32
+            )
+        else:
+            seeds = np.zeros((1, self.dim), np.float32)
+        rng = np.random.default_rng(0)
+        init = seeds + rng.standard_normal(seeds.shape).astype(np.float32) * 1e-4
+        init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+
+        centroids, labels = kmeans_fit_sharded(
+            self.E, count, init, self.mesh, axis, iters=self.ivf_iters
+        )
+
+        bucket_cap = max(
+            8,
+            _next_pow2(
+                int(np.ceil(IVFIndex.FILL_FACTOR * max(count, 1) / (S * C)))
+            ),
+        )
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
+        def fill_body(lab_blk, count_g):
+            lab = lab_blk[0]
+            sid = jax.lax.axis_index(axes[0])
+            for a in axes[1:]:
+                sid = sid * self.mesh.shape[a] + jax.lax.axis_index(a)
+            count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
+            tbl, counts, order = bucket_fill_core(lab, count_s, C, bucket_cap)
+            return tbl[None], counts[None], order[None]
+
+        fn = jax.shard_map(
+            fill_body,
+            mesh=self.mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(axis, None, None), P(axis, None), P(axis, None)),
+            check_vma=False,
+        )
+        tbl, counts, order = jax.jit(fn)(labels, jnp.int32(count))
+
+        counts_h = np.asarray(counts)[:, :C].astype(np.int64)  # (S, C)
+        for s in range(S):
+            ch = counts_h[s]
+            over_c = np.flatnonzero(ch > bucket_cap)
+            if not len(over_c):
+                continue
+            starts = np.cumsum(ch) - ch
+            idx = np.concatenate(
+                [np.arange(starts[c] + bucket_cap, starts[c] + ch[c])
+                 for c in over_c]
+            )
+            ov_local = np.asarray(order[s][jnp.asarray(idx)]).astype(np.int64)
+            rows = self.E[s][jnp.asarray(ov_local)].astype(jnp.float32)
+            Pn = min(32, C)
+            _, top = jax.lax.top_k(
+                jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32),
+                Pn,
+            )
+            fill = np.minimum(ch, bucket_cap)
+            assign_c, assign_slot = _greedy_overflow_assign(
+                np.asarray(top).astype(np.int64), fill, bucket_cap
+            )
+            tbl = tbl.at[
+                s, jnp.asarray(assign_c), jnp.asarray(assign_slot)
+            ].set(jnp.asarray(ov_local, jnp.int32))
+        self._sivf = (centroids, tbl)
+        self._sivf_version += 1
+
+    # ------------------------------------------------------------------
     def _build_search(self, Qp: int, k: int):
         """One jitted shard_map program: local top-k + all_gather merge."""
         S, axis, tier = self.S, self.axis, self.tier
@@ -236,6 +343,10 @@ class ShardedIndex:
         interpret = _use_interpret()
 
         hierarchical = isinstance(axis, tuple)
+        if tier == "ivf":
+            self._build_sivf()
+            ivf_centroids = self._sivf[0]
+            ivf_nprobe = min(self.ivf_nprobe, ivf_centroids.shape[0])
 
         def _shard_id():
             if hierarchical:
@@ -248,7 +359,18 @@ class ShardedIndex:
             E_s = E_s[0]  # (cap_s, d)
             s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
-            if tier == "exact":
+            if tier == "ivf":
+                from modular_rag_system_tpu.ops.ivf import ivf_topk
+
+                # scales_s carries this shard's (C, capb) bucket table of
+                # LOCAL row positions; centroids are replicated closure
+                # constants.  Dead rows never enter buckets (fill masks by
+                # count_s), so no extra count masking is needed here.
+                vals, loc = ivf_topk(
+                    E_s, ivf_centroids, scales_s[0], q, k, ivf_nprobe
+                )
+                vals = jnp.where(loc >= 0, vals, -jnp.inf)
+            elif tier == "exact":
                 scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
                 col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
                 scores = jnp.where(col < count_s, scores, -jnp.inf)
@@ -286,8 +408,10 @@ class ShardedIndex:
             return gather_merge(vals, gids, axis)
 
         # tuple axis shards dim 0 over both mesh axes -> per-shard block
-        # is (1, cap_s, d) in both the flat and hierarchical cases
-        in_specs = (P(axis, None, None), P(axis, None), P(), P())
+        # is (1, cap_s, d) in both the flat and hierarchical cases.
+        # For ivf the "scales" slot carries the (S, C, capb) bucket table.
+        scales_spec = P(axis, None, None) if tier == "ivf" else P(axis, None)
+        in_specs = (P(axis, None, None), scales_spec, P(), P())
         fn = jax.shard_map(
             local_and_merge,
             mesh=self.mesh,
@@ -313,6 +437,9 @@ class ShardedIndex:
 
         Exposed so the engine's fused encode+search program can feed the
         same shard_map search this class uses."""
+        if self.tier == "ivf":
+            self._build_sivf()
+            return self.E, self._sivf[1]
         if self.tier == "int8":
             self._refresh_quant()
             return self._E_q, self._scales
@@ -340,9 +467,15 @@ class ShardedIndex:
 
     def search_fn(self, Qp: int, k: int):
         """Cached jitted shard_map search for padded query rows Qp."""
-        key = (Qp, k, self.tier, self.cap_s)
+        # ivf programs close over the build's centroids: key on the build
+        # version so a rebuild can't serve stale clusters
+        key = (Qp, k, self.tier, self.cap_s, self._sivf_version)
         fn = self._search_cache.get(key)
         if fn is None:
+            if self.tier == "ivf":
+                stale = [kk for kk in self._search_cache if kk[4] != self._sivf_version]
+                for kk in stale:
+                    del self._search_cache[kk]
             fn = self._build_search(Qp, k)
             self._search_cache[key] = fn
         return fn
@@ -355,6 +488,14 @@ class ShardedIndex:
                 np.full((Q, k), -1, np.int32),
             )
         k_eff = min(k, self.count, self.cap_s)
+        if self.tier == "ivf":
+            self._build_sivf()
+            # at most nprobe * bucket_cap candidates exist per shard
+            k_eff = min(
+                k_eff,
+                min(self.ivf_nprobe, self._sivf[0].shape[0])
+                * self._sivf[1].shape[2],
+            )
         Qp = _round_up(Q, self.query_pad_multiple())
         qj = jnp.asarray(q, jnp.float32)
         if Qp != Q:

@@ -292,12 +292,19 @@ def test_restore_alignment_with_tombstones_beyond_snapshot(fake_config):
     assert eng2.index.count == 9
 
 
-def test_ivf_with_shards_rejected_at_init(fake_config):
-    cfg = fake_config.merged({"index": {"tier": "ivf"}, "mesh": {"index_shards": 8}})
-    import pytest
-
-    with pytest.raises(ValueError, match="ivf"):
-        RAGEngine(cfg)
+def test_ivf_with_shards_end_to_end(fake_config):
+    """VERDICT r1 item 3: tier=ivf now composes with a sharded index."""
+    cfg = fake_config.merged({
+        "index": {"tier": "ivf", "ivf_clusters": 8, "ivf_nprobe": 8},
+        "mesh": {"index_shards": 8},
+    })
+    eng = RAGEngine(cfg)
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    res = eng.query("programming language machine learning", max_results=3)
+    assert res.documents
+    assert "programming language" in res.documents[0].content
+    eng.shutdown()
 
 
 def test_query_batch_matches_query_under_filters(fake_config):

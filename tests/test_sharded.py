@@ -296,3 +296,68 @@ def test_sharded_derived_tiers_update_incrementally(rng, mesh8):
         iv, ir = idx.search(q, 5)
         np.testing.assert_array_equal(ir, sr)
         np.testing.assert_allclose(iv, sv, atol=1e-6)
+
+
+def test_sharded_ivf_recall_parity(rng, mesh8):
+    """Sharded IVF (SPMD k-means + per-shard buckets + ICI merge) matches
+    single-device IVF recall on the same corpus (VERDICT r1 item 3)."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.ivf import IVFIndex
+
+    # clustered corpus so IVF has real structure
+    d, n_hubs = 64, 16
+    hubs = normalized(rng, n_hubs, d)
+    E = hubs[rng.integers(0, n_hubs, 4096)] + 0.05 * rng.standard_normal((4096, d))
+    E = (E / np.linalg.norm(E, axis=1, keepdims=True)).astype(np.float32)
+    q = E[:16]
+
+    exact = DeviceIndex(dim=d, tier="exact")
+    exact.add(E)
+    _, ref = exact.search(q, 10)
+
+    single = IVFIndex.build(jnp.asarray(E), 4096, n_clusters=32, iters=8, nprobe=8)
+    _, got_single = single.search(jnp.asarray(q), 10)
+    recall_single = np.mean(
+        [len(set(ref[i]) & set(np.asarray(got_single)[i])) / 10 for i in range(16)]
+    )
+
+    sharded = ShardedIndex(dim=d, mesh=mesh8, tier="ivf", block_rows=64,
+                           ivf_clusters=32, ivf_nprobe=8, ivf_iters=8)
+    sharded.add(E)
+    _, got_sharded = sharded.search(q, 10)
+    recall_sharded = np.mean(
+        [len(set(ref[i]) & set(got_sharded[i])) / 10 for i in range(16)]
+    )
+    assert recall_sharded >= 0.8, (recall_sharded, recall_single)
+    assert recall_sharded >= recall_single - 0.1, (recall_sharded, recall_single)
+    # every live row is bucketed exactly once across all shards
+    tbl = np.asarray(sharded._sivf[1])  # (S, C, capb) local positions
+    total = sum(int((tbl[s] >= 0).sum()) for s in range(8))
+    assert total == 4096
+
+
+def test_sharded_ivf_rebuild_after_write(rng, mesh8):
+    E = normalized(rng, 1024, 32)
+    idx = ShardedIndex(dim=32, mesh=mesh8, tier="ivf", block_rows=64,
+                       ivf_clusters=8, ivf_nprobe=8, ivf_iters=4)
+    idx.add(E[:1000])
+    _, r1 = idx.search(E[:2], 5)
+    assert (r1[:, 0] == np.array([0, 1])).all()
+    v1 = idx._sivf_version
+    idx.add(E[1000:])  # invalidates the ivf build
+    _, r2 = idx.search(E[1020:1022], 5)
+    assert (r2[:, 0] == np.array([1020, 1021])).all()
+    assert idx._sivf_version > v1
+
+
+def test_sharded_ivf_hierarchical_mesh(rng):
+    from modular_rag_system_tpu.parallel.mesh import make_hierarchical_index_mesh
+
+    mesh2d = make_hierarchical_index_mesh(2, 4, devices=cpu_mesh_devices(8))
+    E = normalized(rng, 2048, 32)
+    idx = ShardedIndex(dim=32, mesh=mesh2d, tier="ivf", block_rows=64,
+                       ivf_clusters=16, ivf_nprobe=16, ivf_iters=4)
+    idx.add(E)
+    _, got = idx.search(E[:4], 5)
+    assert (got[:, 0] == np.arange(4)).all()
