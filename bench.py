@@ -1,8 +1,9 @@
 """Headline benchmark: QPS/chip at recall@10 on a 1M-chunk corpus.
 
 This measures BASELINE.json config 3: a compressed HBM-resident index
-(bf16, recall@10 == 1.0 vs exact f32, validated in-run) searched by the
-fused Pallas dot-product+top-k kernel with a 128-query batch.
+(bf16, EXACT top-k — recall@10 == 1.0 vs exact f32, validated in-run)
+searched by the two-pass binmax Pallas kernel (``ops/binmax_topk.py``)
+with a 128-query batch.
 
 ``vs_baseline`` compares against the CPU brute-force cosine scan — the
 faithful stand-in for the reference's search path
@@ -12,9 +13,16 @@ which is strictly FASTER than the reference's loop, so the reported
 speedup is a lower bound).  The CPU time is measured on a 1/8 subset and
 scaled linearly (documented extrapolation; brute force is linear in N).
 
+Timing method: M kernel invocations are chained inside ONE jit program
+(``lax.scan`` with a data dependency between steps) and wall time is the
+slope between M=4 and M=68 runs.  The constant per-dispatch relay
+round-trip (which varies ~26 ms in this environment) cancels in the
+difference, so the slope is pure device time per batch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import functools
 import json
 import sys
 import time
@@ -27,13 +35,14 @@ def main() -> int:
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_raw
     from modular_rag_system_tpu.ops.exact import exact_topk
-    from modular_rag_system_tpu.ops.fused_topk import fused_topk
+    from modular_rag_system_tpu.ops.fused_topk import _use_interpret, fused_topk_raw
 
     on_tpu = jax.default_backend() == "tpu"
     N = 1_048_576 if on_tpu else 65_536
     d, Q, k = 384, 128, 10
-    iters = 30 if on_tpu else 5
+    M_LO, M_HI = (4, 68) if on_tpu else (2, 6)
 
     rng = np.random.default_rng(0)
     E = rng.standard_normal((N, d)).astype(np.float32)
@@ -41,51 +50,63 @@ def main() -> int:
     q = rng.standard_normal((Q, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    note(f"uploading corpus ({N}x{d})")
     Ej = jnp.asarray(E)
     E16 = Ej.astype(jnp.bfloat16)
     qj = jnp.asarray(q)
     cnt = jnp.int32(N)
-    jax.block_until_ready(E16)
+    interp = _use_interpret()
+    # distinct query batches per chain step (identical inputs could let
+    # the compiler or relay dedupe work)
+    QS = jnp.asarray(rng.standard_normal((M_HI, Q, d)).astype(np.float32))
+    np.asarray(jnp.sum(QS))  # force residency
 
-    # --- device: fused bf16 kernel ------------------------------------
-    def run():
-        return fused_topk(E16, cnt, qj, k, block_rows=2048)
+    def kernel_twopass(qq):
+        return twopass_topk_raw(E16, cnt, qq, k, 4096 if on_tpu else 2048,
+                                32, interp)
 
-    def run_binned():
-        return fused_topk(E16, cnt, qj, k, block_rows=4096, bin_width=256)
+    def kernel_fused(qq):
+        return fused_topk_raw(E16, cnt, qq, k, 2048, interp)
 
-    def timed_best_of(fn, windows=3):
-        """Best-of-N measurement windows: the device relay's round-trip
-        latency in this environment varies +-40% run to run, so the
-        fastest window is the closest estimate of kernel capability."""
-        out = fn()
-        np.asarray(out[0])  # sync after compile
-        best = float("inf")
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            np.asarray(out[0])
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best, out
+    @functools.partial(jax.jit, static_argnames=("m", "which"))
+    def chain(QS, m, which):
+        def step(carry, qq):
+            fn = kernel_twopass if which == "twopass" else kernel_fused
+            v, _ = fn(qq + carry * 1e-9)  # data dependency serializes steps
+            return jnp.mean(v), None
 
-    dt, (vals, ids) = timed_best_of(run)
-    np.asarray(ids)
+        carry, _ = jax.lax.scan(step, 0.0, QS[:m])
+        return carry
+
+    def slope_time(which):
+        note(f"compiling {which} chains")
+        f = lambda m: float(np.asarray(chain(QS, m, which)))
+        f(M_LO)
+        f(M_HI)  # compile both
+        note(f"timing {which}")
+        ts = {M_LO: [], M_HI: []}
+        for _ in range(4):
+            for m in (M_LO, M_HI):
+                t0 = time.perf_counter()
+                f(m)
+                ts[m].append(time.perf_counter() - t0)
+        return (min(ts[M_HI]) - min(ts[M_LO])) / (M_HI - M_LO)
+
+    dt = slope_time("twopass")
     qps = Q / dt
+    fused_dt = slope_time("fused") if on_tpu else dt
 
-    # binned-selection variant (near-exact recall, less VPU selection work)
-    binned_dt, (bvals, bids) = timed_best_of(run_binned)
-
+    note("recall check vs exact f32")
     # --- recall vs exact f32 on-device --------------------------------
+    vals, ids = jax.jit(kernel_twopass)(qj)
     ev, eids = exact_topk(Ej, cnt, qj, k)
     eids = np.asarray(eids)
     gids = np.asarray(ids)
     recall = float(
         np.mean([len(set(eids[i]) & set(gids[i])) / k for i in range(Q)])
-    )
-    bids_np = np.asarray(bids)
-    binned_recall = float(
-        np.mean([len(set(eids[i]) & set(bids_np[i])) / k for i in range(Q)])
     )
 
     # --- CPU baseline: numpy brute force on a subset, scaled ----------
@@ -101,7 +122,7 @@ def main() -> int:
     cpu_qps = Q / cpu_dt_full
 
     result = {
-        "metric": "QPS/chip at recall@10, 1M-chunk bf16 fused index"
+        "metric": "QPS/chip at recall@10, 1M-chunk bf16 two-pass exact index"
         if on_tpu
         else "QPS at recall@10 (CPU smoke, 64k chunks)",
         "value": round(qps, 1),
@@ -113,8 +134,9 @@ def main() -> int:
         "dim": d,
         "query_batch": Q,
         "cpu_baseline_qps": round(cpu_qps, 2),
-        "binned_qps": round(Q / binned_dt, 1),
-        "binned_recall_at_10": round(binned_recall, 4),
+        "singlepass_qps": round(Q / fused_dt, 1),
+        "effective_gbps": round(N * d * 2 / dt / 1e9, 1),
+        "timing": "chained-scan slope (relay RTT cancels)",
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -398,11 +398,24 @@ class RAGEngine:
                         from modular_rag_system_tpu.ops.exact import exact_topk_raw
 
                         return exact_topk_raw(E, count, q, k)
+                    from modular_rag_system_tpu.ops.binmax_topk import (
+                        _MIN_TWOPASS_CAP,
+                        twopass_topk_raw,
+                    )
                     from modular_rag_system_tpu.ops.fused_topk import (
+                        _max_block_rows,
                         _use_interpret,
                         fused_topk_raw,
                     )
 
+                    cap = E.shape[0]
+                    if (self.index.fused_bin_width is None
+                            and cap >= _MIN_TWOPASS_CAP and cap // 32 >= k + 1):
+                        br = min(max(block_rows, 4096), cap,
+                                 _max_block_rows(E.shape[1], E.dtype))
+                        return twopass_topk_raw(
+                            E, count, q, k, br, 32, _use_interpret(),
+                        )
                     qp = q
                     if qp.shape[0] % 8:
                         qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))

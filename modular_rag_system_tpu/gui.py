@@ -17,6 +17,67 @@ import time
 from typing import Optional
 
 
+def format_stats(stats: dict) -> str:
+    """Render ``get_system_stats()`` as the reference's structured
+    analytics summary (``rag_query_interface.py:822-859``) — sectioned
+    human-readable text, not a raw JSON dump.  Pure function so headless
+    tests can cover the analytics surface without a display."""
+    eng = stats.get("engine", {}) or {}
+    qs = eng.get("query_stats", {}) or {}
+    store = eng.get("store", {}) or {}
+    index = eng.get("index", {}) or {}
+    pipe = stats.get("pipeline", {}) or {}
+    proc = stats.get("processor", {}) or {}
+    files = stats.get("files", {}) or {}
+    keys = stats.get("keystrokes")
+    mem_mb = index.get("memory_bytes", 0) / 1e6
+    lines = [
+        "RAG System Statistics",
+        "",
+        "Retrieval engine:",
+        f"  total documents:    {store.get('total_documents', 0)}",
+        f"  index tier:         {index.get('tier', '?')} "
+        f"({index.get('count', 0)}/{index.get('capacity', 0)} rows, "
+        f"dim {index.get('dim', '?')}, {mem_mb:.1f} MB HBM)",
+        f"  encoder:            {eng.get('encoder', '?')}",
+        f"  total queries:      {qs.get('total_queries', 0)}",
+        f"  avg retrieval time: {qs.get('avg_retrieval_time', 0.0):.4f}s",
+        f"  documents added:    {qs.get('total_documents_added', 0)}",
+        "",
+        "Embedding pipeline:",
+        f"  requests:        {pipe.get('total_requests', 0)} "
+        f"({pipe.get('total_chunks', 0)} chunks)",
+        f"  cache:           {pipe.get('cache_size', 0)} entries, "
+        f"hit ratio {pipe.get('cache_hit_ratio', 0.0):.1%}",
+        f"  avg batch time:  {pipe.get('avg_processing_time', 0.0):.4f}s",
+        "",
+        "Query processor:",
+        f"  queries:    {proc.get('queries', 0)}",
+        f"  cache:      {proc.get('cache_size', 0)} entries, "
+        f"{proc.get('cache_hits', 0)} hits",
+        f"  llm calls:  {proc.get('llm_calls', 0)} "
+        f"({proc.get('fallbacks', 0)} fallbacks)",
+        "",
+        "Ingestion:",
+        f"  uploaded files: {files.get('count', 0)}"
+        + (f" (serving on :{files['port']})" if files.get("port") else ""),
+    ]
+    if keys:
+        lines += [
+            f"  keystrokes:     {keys.get('events_total', 0)} events, "
+            f"{keys.get('sessions_total', 0)} sessions, "
+            f"avg {keys.get('avg_wpm', 0.0)} WPM",
+        ]
+    by_source = store.get("by_source") or {}
+    if by_source:
+        lines += ["", "Documents by source:"]
+        lines += [f"  {src}: {n}" for src, n in sorted(by_source.items())]
+    if stats.get("llm"):
+        lines += ["", f"LLM: {stats['llm']}"]
+    lines += ["", f"System running: {'yes' if stats.get('started') else 'no'}"]
+    return "\n".join(lines)
+
+
 def tkinter_available() -> bool:
     try:
         import tkinter  # noqa: F401
@@ -59,16 +120,28 @@ class RAGQueryGUI:
         self.insight.pack(fill="both", expand=True, padx=8, pady=4)
         self.context = tk.Text(qf, height=8, wrap="word")
         self.context.pack(fill="both", expand=True, padx=8, pady=4)
-        self.followups = tk.Text(qf, height=3, wrap="word")
+        # follow-ups: double-click re-executes (reference
+        # ``rag_query_interface.py:815-821`` execute_followup)
+        self.followups = tk.Listbox(qf, height=3)
         self.followups.pack(fill="x", padx=8, pady=4)
+        self.followups.bind("<Double-Button-1>", self._run_followup)
+
+        # status bar (reference's processing-time/confidence line)
+        self.status_var = tk.StringVar(value="ready")
+        ttk.Label(self.root, textvariable=self.status_var, anchor="w").pack(
+            fill="x", padx=8, pady=2
+        )
 
         # --- history tab -----------------------------------------------
         hf = ttk.Frame(nb)
         nb.add(hf, text="History")
         self.history = ttk.Treeview(
-            hf, columns=("time", "query", "type", "confidence"), show="headings"
+            hf,
+            columns=("time", "query", "type", "confidence", "sources"),
+            show="headings",
         )
-        for col, w in (("time", 140), ("query", 420), ("type", 100), ("confidence", 90)):
+        for col, w in (("time", 120), ("query", 380), ("type", 100),
+                       ("confidence", 90), ("sources", 70)):
             self.history.heading(col, text=col)
             self.history.column(col, width=w)
         self.history.pack(fill="both", expand=True, padx=8, pady=6)
@@ -76,9 +149,10 @@ class RAGQueryGUI:
         # --- analytics tab ----------------------------------------------
         af = ttk.Frame(nb)
         nb.add(af, text="Analytics")
-        self.analytics = tk.Text(af, wrap="word")
+        self.analytics = tk.Text(af, wrap="word", font=("Courier", 10))
         self.analytics.pack(fill="both", expand=True, padx=8, pady=6)
         ttk.Button(af, text="Refresh", command=self.refresh_analytics).pack(pady=4)
+        self._schedule_analytics_refresh()
 
     # ------------------------------------------------------------------
     def submit_query(self) -> None:
@@ -87,6 +161,8 @@ class RAGQueryGUI:
             return
         self.insight.delete("1.0", "end")
         self.insight.insert("1.0", "processing...")
+        self.status_var.set("processing...")
+        t0 = time.time()
 
         def worker():
             try:
@@ -94,37 +170,57 @@ class RAGQueryGUI:
             except Exception as exc:  # surfaced, never crashes the GUI
                 resp = {"insight": f"error: {exc}", "confidence": 0.0,
                         "query_type": "?", "sources": [], "follow_up_queries": []}
-            self.root.after(0, lambda: self._render(query, resp))
+            dt = time.time() - t0
+            self.root.after(0, lambda: self._render(query, resp, dt))
 
         threading.Thread(target=worker, daemon=True).start()
 
-    def _render(self, query: str, resp: dict) -> None:
+    def _run_followup(self, _event) -> None:
+        sel = self.followups.curselection()
+        if sel:
+            self.query_var.set(self.followups.get(sel[0]))
+            self.submit_query()
+
+    def _render(self, query: str, resp: dict, dt: float) -> None:
         self.insight.delete("1.0", "end")
         self.insight.insert("1.0", resp["insight"])
         self.context.delete("1.0", "end")
-        for s in resp.get("sources", []):
+        sources = resp.get("sources", [])
+        for s in sources:
             self.context.insert(
                 "end", f"({s['similarity']:.2f}) [{s['source']}] {s['snippet']}\n"
             )
-        self.followups.delete("1.0", "end")
-        self.followups.insert("1.0", " | ".join(resp.get("follow_up_queries", [])))
+        self.followups.delete(0, "end")
+        for fu in resp.get("follow_up_queries", []):
+            self.followups.insert("end", fu)
+        conf = resp.get("confidence", 0.0)
+        self.status_var.set(
+            f"query processed in {dt:.2f}s (confidence: {conf:.1%})"
+        )
         self.history.insert(
             "",
             0,
             values=(
                 time.strftime("%H:%M:%S"),
-                query,
+                query if len(query) <= 50 else query[:50] + "...",
                 resp.get("query_type", "?"),
-                resp.get("confidence", 0.0),
+                f"{conf:.1%}",
+                len(sources),
             ),
         )
 
     def refresh_analytics(self) -> None:
-        import json
-
-        stats = self.system.get_system_stats()
+        try:
+            text = format_stats(self.system.get_system_stats())
+        except Exception as exc:
+            text = f"stats unavailable: {exc}"
         self.analytics.delete("1.0", "end")
-        self.analytics.insert("1.0", json.dumps(stats, indent=2, default=str))
+        self.analytics.insert("1.0", text)
+
+    def _schedule_analytics_refresh(self) -> None:
+        """Periodic refresh, like the reference's update_statistics loop."""
+        self.refresh_analytics()
+        self.root.after(10_000, self._schedule_analytics_refresh)
 
     def run(self) -> None:
         self.refresh_analytics()

@@ -377,10 +377,26 @@ class ShardedIndex:
                 vals, loc = jax.lax.top_k(scores, k)
                 loc = loc.astype(jnp.int32)
             elif tier in ("fused", "bf16"):
-                vals, loc = fused_topk_raw(
-                    E_s, count_s, q, k, block_rows, interpret,
-                    bin_width=bin_width,
+                from modular_rag_system_tpu.ops.binmax_topk import (
+                    _MIN_TWOPASS_CAP,
+                    twopass_topk_raw,
                 )
+                from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
+
+                if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
+                        and cap_s // 32 >= k + 1):
+                    # exact two-pass kernel per shard (2.1x single-pass);
+                    # ids/ties identical, so the ICI merge is unchanged
+                    br = min(max(block_rows, 4096), cap_s,
+                             _max_block_rows(E_s.shape[1], E_s.dtype))
+                    vals, loc = twopass_topk_raw(
+                        E_s, count_s, q, k, br, 32, interpret,
+                    )
+                else:
+                    vals, loc = fused_topk_raw(
+                        E_s, count_s, q, k, block_rows, interpret,
+                        bin_width=bin_width,
+                    )
             elif tier == "int8":
                 vals, loc = fused_topk_int8_raw(
                     E_s, scales_s, count_s, q, k, block_rows, interpret,

@@ -217,3 +217,32 @@ def test_retry_transient_semantics():
     assert is_transient(RuntimeError("remote_compile: HTTP 500"))
     assert not is_transient(RuntimeError("INVALID_ARGUMENT: bad shape"))
     assert not is_transient(ValueError("unrelated"))
+
+
+def test_gui_format_stats_renders_real_tree(fake_config):
+    """The analytics tab renders get_system_stats as structured text
+    (reference rag_query_interface.py:822-859) — covered headlessly."""
+    from modular_rag_system_tpu.facade import EnhancedRAGSystem
+    from modular_rag_system_tpu.gui import format_stats
+
+    cfg = fake_config.merged({"serving": {"file_server_port": 0}})
+    s = EnhancedRAGSystem(cfg, llm_client=False)
+    try:
+        s.engine.add_document("stats render probe", source="test")
+        s.engine.query("probe")
+        text = format_stats(s.get_system_stats())
+    finally:
+        s.shutdown()
+    assert "Retrieval engine:" in text
+    assert "total documents:    1" in text
+    assert "total queries:      1" in text
+    assert "cache:" in text and "hit ratio" in text
+    assert "Documents by source:" in text and "test: 1" in text
+    assert "System running:" in text
+
+
+def test_gui_format_stats_tolerates_missing_sections():
+    from modular_rag_system_tpu.gui import format_stats
+
+    text = format_stats({})
+    assert "Retrieval engine:" in text  # degrades, never raises

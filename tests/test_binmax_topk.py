@@ -1,0 +1,129 @@
+"""Two-pass binmax exact top-k: exactness vs the brute-force reference.
+
+Replaces the reference search loop's correctness surface
+(``ollama_rag_system.py:454-525``) for the redesigned kernel; everything
+runs in interpret mode on the CPU mesh (conftest)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.ops.binmax_topk import twopass_topk, twopass_topk_raw
+from modular_rag_system_tpu.ops.exact import exact_topk
+
+
+def _mat(rng, n, d=384):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_twopass_matches_exact(rng, dtype):
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E).astype(dtype)
+    q = jnp.asarray(_mat(rng, 5))
+    v2, i2 = twopass_topk(Ej, 8192, q, 10)
+    ve, ie = exact_topk(Ej.astype(jnp.float32), jnp.int32(8192), q, 10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(ve), atol=2e-3)
+
+
+def test_twopass_partial_count_and_ties(rng):
+    """Duplicate rows force score ties; smallest-id tie-break must hold,
+    and rows past count (incl. inside the straddling bin) are invisible."""
+    E = _mat(rng, 8192)
+    E[100] = E[7]
+    E[4000] = E[7]
+    E[5001] = E[7]  # past count: must never appear
+    count = 5001
+    Ej = jnp.asarray(E).astype(jnp.bfloat16)
+    q = jnp.asarray(E[7:8])
+    v2, i2 = twopass_topk(Ej, count, q, 10)
+    ve, ie = exact_topk(Ej.astype(jnp.float32), jnp.int32(count), q, 10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
+    assert list(np.asarray(i2)[0][:3]) == [7, 100, 4000]
+    assert 5001 not in np.asarray(i2)
+
+
+def test_twopass_count_smaller_than_k(rng):
+    """count < k: finite results only for live rows, -1 ids elsewhere."""
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E)
+    q = jnp.asarray(_mat(rng, 3))
+    v2, i2 = twopass_topk(Ej, 4, q, 10)
+    v2, i2 = np.asarray(v2), np.asarray(i2)
+    assert np.all(np.isfinite(v2[:, :4]))
+    assert np.all(i2[:, :4] < 4) and np.all(i2[:, :4] >= 0)
+    assert np.all(~np.isfinite(v2[:, 4:]))
+    assert np.all(i2[:, 4:] == -1)
+
+
+def test_twopass_small_cap_falls_back(rng):
+    """Below the two-pass threshold the wrapper delegates to the
+    single-pass kernel with identical results."""
+    E = _mat(rng, 2048)
+    Ej = jnp.asarray(E)
+    q = jnp.asarray(_mat(rng, 2))
+    v2, i2 = twopass_topk(Ej, 2048, q, 5)
+    ve, ie = exact_topk(Ej, jnp.int32(2048), q, 5)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
+
+
+def test_twopass_odd_query_count(rng):
+    """Q not a multiple of the 128-lane pad: padded rows never leak."""
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E).astype(jnp.bfloat16)
+    q = jnp.asarray(_mat(rng, 7))
+    v2, i2 = twopass_topk(Ej, 8192, q, 4)
+    assert v2.shape == (7, 4) and i2.shape == (7, 4)
+    ve, ie = exact_topk(Ej.astype(jnp.float32), jnp.int32(8192), q, 4)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie))
+
+
+def test_twopass_param_validation():
+    E = jnp.zeros((8192, 64), jnp.float32)
+    q = jnp.zeros((1, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        twopass_topk_raw(E, jnp.int32(10), q, 5, 3000, 32, True)
+    with pytest.raises(ValueError):
+        twopass_topk_raw(E, jnp.int32(10), q, 5, 2048, 100, True)
+
+
+def test_device_index_routes_twopass(rng):
+    """tier='bf16' with no fused_bin_width uses the two-pass kernel and
+    matches brute force at cap >= the routing threshold."""
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = _mat(rng, 8192, 128)
+    idx = DeviceIndex(dim=128, capacity=8192, tier="bf16",
+                      store_dtype="bfloat16")
+    idx.add(E)
+    q = _mat(rng, 3, 128)
+    sv, sr = idx.search(q, 10)
+    Ej = jnp.asarray(E).astype(jnp.bfloat16).astype(jnp.float32)
+    ve, ie = exact_topk(Ej, jnp.int32(8192), jnp.asarray(q), 10)
+    np.testing.assert_array_equal(sr, np.asarray(ie))
+
+
+def test_sharded_twopass_parity(rng):
+    """Shards big enough for the two-pass path merge to the same results
+    as a single exact index (ICI merge unchanged)."""
+    from modular_rag_system_tpu.index import DeviceIndex
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    mesh = make_index_mesh(2, devices=cpu_mesh_devices(2))
+    E = _mat(rng, 16384, 64)
+    sharded = ShardedIndex(dim=64, mesh=mesh, tier="bf16",
+                           store_dtype="bfloat16")
+    sharded.add(E)
+    assert sharded.cap_s >= 8192  # actually exercises the two-pass branch
+    single = DeviceIndex(dim=64, capacity=16384, tier="bf16",
+                         store_dtype="bfloat16")
+    single.add(E)
+    q = _mat(rng, 4, 64)
+    xv, xr = sharded.search(q, 10)
+    sv, sr = single.search(q, 10)
+    np.testing.assert_array_equal(xr, sr)
+    np.testing.assert_allclose(xv, sv, rtol=1e-3, atol=2e-3)
