@@ -45,16 +45,24 @@ def main() -> int:
     M_LO, M_HI = (4, 68) if on_tpu else (2, 6)
 
     rng = np.random.default_rng(0)
-    E = rng.standard_normal((N, d)).astype(np.float32)
-    E /= np.linalg.norm(E, axis=1, keepdims=True)
     q = rng.standard_normal((Q, d)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    note(f"uploading corpus ({N}x{d})")
-    Ej = jnp.asarray(E)
+    # corpus is generated ON DEVICE: uploading 1.6 GB through the host
+    # relay can take tens of minutes when the tunnel is congested, and
+    # the CPU baseline below times an independent same-shape matrix
+    # (brute-force matmul cost is data-independent)
+    note(f"generating corpus on device ({N}x{d})")
+
+    @jax.jit
+    def gen_corpus(key):
+        e = jax.random.normal(key, (N, d), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    Ej = gen_corpus(jax.random.PRNGKey(0))
     E16 = Ej.astype(jnp.bfloat16)
     qj = jnp.asarray(q)
     cnt = jnp.int32(N)
@@ -111,7 +119,8 @@ def main() -> int:
 
     # --- CPU baseline: numpy brute force on a subset, scaled ----------
     sub = N // 8
-    E_sub = E[:sub]
+    E_sub = rng.standard_normal((sub, d)).astype(np.float32)
+    E_sub /= np.linalg.norm(E_sub, axis=1, keepdims=True)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):

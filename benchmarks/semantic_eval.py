@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Semantic retrieval quality: fine-tuned encoder vs lexical baselines.
+
+VERDICT r1 item 2b: the reference gets semantics from pretrained models
+(``embedding_pipeline.py:363-370`` Ollama, ``:424`` MiniLM); this
+zero-egress container has neither, so the framework must *earn* its
+semantics via in-framework contrastive fine-tuning — and this benchmark
+measures it.  The corpus (``models/synth.py``) is built so queries share
+ZERO words with their gold documents (entity aliases + relation
+paraphrases) and the eval split holds out (entity, relation)
+combinations; lexical embedders score ~chance by construction.
+
+Prints ONE JSON line:
+  {"metric": "semantic recall@10 (held-out paraphrases)", "value": ...,
+   "hash_baseline": ..., "untrained_baseline": ..., ...}
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+
+    from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+    from modular_rag_system_tpu.models.fake import FeatureHashEncoder
+    from modular_rag_system_tpu.models.synth import (
+        make_paraphrase_corpus,
+        recall_at_k,
+    )
+    from modular_rag_system_tpu.models.train import ContrastiveTrainer
+    from modular_rag_system_tpu.parallel.mesh import default_devices, make_train_mesh
+
+    on_tpu = jax.default_backend() == "tpu"
+    # TPU: full 1000-doc corpus + the serving-size encoder.
+    # CPU: smaller corpus + narrow encoder (same protocol) for smoke runs.
+    if on_tpu:
+        n_entities, n_relations, steps, batch = 40, 25, 600, 128
+        enc_kw = dict(dim=384, max_seq_len=16, batch_size=256, num_layers=4,
+                      num_heads=12, mlp_dim=1536, vocab_size=30522,
+                      dtype="float32")
+        lr = 1e-3
+    else:
+        n_entities, n_relations, steps, batch = 16, 10, 250, 64
+        enc_kw = dict(dim=128, max_seq_len=12, batch_size=64, num_layers=2,
+                      num_heads=4, mlp_dim=256, vocab_size=4096,
+                      dtype="float32")
+        lr = 3e-3
+    k = 10
+
+    corpus = make_paraphrase_corpus(n_entities=n_entities,
+                                    n_relations=n_relations, seed=0)
+
+    hash_rec = recall_at_k(FeatureHashEncoder(dim=enc_kw["dim"]), corpus, k)
+    enc = MiniLMEncoder(**enc_kw)
+    untrained_rec = recall_at_k(enc, corpus, k)
+
+    devices = default_devices()
+    mesh = make_train_mesh(len(devices), 1, devices=devices)
+    trainer = ContrastiveTrainer(enc, mesh, learning_rate=lr)
+    pairs = list(zip(corpus.train_queries,
+                     [corpus.docs[i] for i in corpus.train_doc_idx]))
+    rng = random.Random(1)
+    t0 = time.perf_counter()
+    final_loss = float("nan")
+    for step in range(steps):
+        sample = [pairs[rng.randrange(len(pairs))] for _ in range(batch)]
+        loss, acc = trainer.step([q for q, _ in sample], [p for _, p in sample])
+        if step == steps - 1:
+            final_loss = float(loss)
+    train_s = time.perf_counter() - t0
+    trainer.sync_encoder()
+    trained_rec = recall_at_k(enc, corpus, k)
+
+    print(json.dumps({
+        "metric": f"semantic recall@{k} (held-out paraphrases)",
+        "value": round(trained_rec, 4),
+        "unit": "recall",
+        # vs chance (k random docs of the corpus): lexical baselines sit
+        # AT chance here by construction, so chance is the honest floor
+        "vs_baseline": round(trained_rec / (k / len(corpus.docs)), 1),
+        "hash_baseline": round(hash_rec, 4),
+        "untrained_baseline": round(untrained_rec, 4),
+        "corpus_docs": len(corpus.docs),
+        "eval_queries": len(corpus.eval_queries),
+        "train_pairs": len(pairs),
+        "train_steps": steps,
+        "train_seconds": round(train_s, 1),
+        "final_loss": round(final_loss, 4),
+        "backend": jax.default_backend(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

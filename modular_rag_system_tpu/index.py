@@ -279,6 +279,13 @@ class DeviceIndex:
         if self._E_q is None:
             self._E_q, self._scales = quantize_rows(self.E)
             self.derived_rebuilds += 1
+        if self.fused_bin_width is None:
+            from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
+
+            return twopass_topk_int8(
+                self._E_q, self._scales, self.count_device(), qj, k,
+                block_rows=max(self.block_rows, 4096),
+            )
         return fused_topk_int8(
             self._E_q, self._scales, self.count_device(), qj, k,
             block_rows=self.block_rows, bin_width=self.fused_bin_width,

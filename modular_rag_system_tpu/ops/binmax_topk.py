@@ -173,6 +173,126 @@ _twopass_jit = jax.jit(
     static_argnames=("k", "block_rows", "bin_width", "interpret"),
 )
 
+
+# ---------------------------------------------------------------------------
+# int8 variant: 4x less pass-1 HBM traffic than f32 (2x vs bf16).  The
+# round-1 single-pass int8 kernel LOST to bf16 (27.5k vs 31k QPS) because
+# the per-tile selection VPU cost dominated; with selection gone the
+# stream is traffic-bound and int8's advantage materializes.
+def _binmax_int8_kernel(q_ref, e_ref, scale_ref, out_ref, *, bin_width: int):
+    tile = e_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 exact in [-127,127]
+    q = q_ref[:]  # (Q, d) bf16
+    scores = jax.lax.dot_general(
+        tile, q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, Q): q . int_row, exact in the int factor
+    B, Q = scores.shape
+    nb_tile = B // bin_width
+    # scales arrive bin-major (nb_tile, bin_width) so the per-row scale
+    # broadcasts over the Q lanes without a 128x-padded (B, 1) block
+    s3 = scores.reshape(nb_tile, bin_width, Q) * scale_ref[:][:, :, None]
+    out_ref[:] = jnp.max(s3, axis=1)
+
+
+def binmax_int8_call(E_q, scales_bins, q, block_rows: int, bin_width: int,
+                     interpret: bool):
+    """(cap, d) int8 x (Q, d) bf16 -> (nb, Q) per-bin maxima of the
+    DEQUANTIZED scores; ``scales_bins`` is (nb, bin_width) f32."""
+    cap, d = E_q.shape
+    Q = q.shape[0]
+    grid = cap // block_rows
+    nb_tile = block_rows // bin_width
+    nb = cap // bin_width
+    kern = functools.partial(_binmax_int8_kernel, bin_width=bin_width)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((Q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_tile, bin_width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb_tile, Q), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, Q), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * cap * d,
+            bytes_accessed=cap * d + cap * 4 + nb * Q * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, E_q, scales_bins)
+
+
+def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
+                          bin_width: int, interpret: bool):
+    """Traceable int8 two-pass top-k.
+
+    ``E_q`` (cap, d) int8 with per-row ``scales`` (cap,) or (cap, 1) f32
+    (``ops.quantize.quantize_rows``); ``q`` (Q, d) f32.  Same contract as
+    ``twopass_topk_raw``; scores approximate the f32 inner products with
+    per-row quantization error (recall ~0.999 at d=384)."""
+    cap, d = E_q.shape
+    Q = q.shape[0]
+    _check_params(cap, block_rows, bin_width)
+    Qp = _round_up(Q, _LANE)
+    if Qp != Q:
+        q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
+    nb = cap // bin_width
+    q16 = q.astype(jnp.bfloat16)
+    scales_bins = scales.reshape(nb, bin_width)
+
+    binmax = binmax_int8_call(
+        E_q, scales_bins, q16, block_rows, bin_width, interpret
+    ).T  # (Qp, nb)
+    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
+    dead = bin_base >= count
+    straddle = (bin_base < count) & (bin_base + bin_width > count)
+    bm = jnp.where(dead[None, :], _NEG_INF, binmax)
+    bm = jnp.where(straddle[None, :], jnp.inf, bm)
+    kb = min(k + 1, nb)
+    _, bins = jax.lax.top_k(bm, kb)
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
+    rid = (bins * bin_width)[:, :, None] + offs
+    rid_flat = rid.reshape(Qp, kb * bin_width)
+    slabs = E_q.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d) int8
+    sl_scale = scales_bins[bins]  # (Qp, kb, bw)
+    q_r = _round_to_dtype_f32(q.astype(jnp.float32), jnp.bfloat16)
+    scores = jnp.einsum(
+        "qd,qkbd->qkb", q_r, slabs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * sl_scale
+    scores = scores.reshape(Qp, kb * bin_width)
+    scores = jnp.where(rid_flat < count, scores, _NEG_INF)
+    vals, ids = _select_topk(scores, rid_flat, k)
+    return vals[:Q], ids[:Q]
+
+
+_twopass_int8_jit = jax.jit(
+    twopass_topk_int8_raw,
+    static_argnames=("k", "block_rows", "bin_width", "interpret"),
+)
+
+
+def twopass_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 4096,
+                      bin_width: int = 32):
+    """int8-index two-pass top-k; drop-in for
+    ``ops.fused_topk.fused_topk_int8`` at ~3x the throughput."""
+    from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
+
+    cap, d = E_q.shape
+    if cap < _MIN_TWOPASS_CAP or cap // bin_width < k + 1:
+        return fused_topk_int8(E_q, scales, count, q, k)
+    # budget as bf16: the kernel widens the int8 tile to bf16 in VMEM
+    block_rows = min(block_rows, cap, _max_block_rows(d, jnp.bfloat16))
+    vals, ids = _twopass_int8_jit(
+        E_q, scales, jnp.asarray(count, jnp.int32), q, k, block_rows,
+        bin_width, _use_interpret(),
+    )
+    ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return vals, ids
+
 # below this corpus size the two-pass setup (bin top-k + slab gather for
 # 128 padded queries) costs more than simply streaming the whole corpus
 # through the single-pass kernel

@@ -398,10 +398,25 @@ class ShardedIndex:
                         bin_width=bin_width,
                     )
             elif tier == "int8":
-                vals, loc = fused_topk_int8_raw(
-                    E_s, scales_s, count_s, q, k, block_rows, interpret,
-                    bin_width=bin_width,
+                from modular_rag_system_tpu.ops.binmax_topk import (
+                    _MIN_TWOPASS_CAP,
+                    twopass_topk_int8_raw,
                 )
+                from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
+
+                if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
+                        and cap_s // 32 >= k + 1):
+                    br = min(max(block_rows, 4096), cap_s,
+                             _max_block_rows(E_s.shape[1], jnp.bfloat16))
+                    vals, loc = twopass_topk_int8_raw(
+                        E_s, scales_s.reshape(-1), count_s, q, k, br, 32,
+                        interpret,
+                    )
+                else:
+                    vals, loc = fused_topk_int8_raw(
+                        E_s, scales_s, count_s, q, k, block_rows, interpret,
+                        bin_width=bin_width,
+                    )
             else:
                 raise ValueError(f"unknown tier {tier!r}")
             gids = loc * S + s

@@ -127,3 +127,76 @@ def test_sharded_twopass_parity(rng):
     sv, sr = single.search(q, 10)
     np.testing.assert_array_equal(xr, sr)
     np.testing.assert_allclose(xv, sv, rtol=1e-3, atol=2e-3)
+
+
+def test_twopass_int8_matches_singlepass(rng):
+    """int8 two-pass selects the same rows as the single-pass int8 kernel
+    (identical quantized operands + tie-break)."""
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
+    from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
+    from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E)
+    E_q, scales = quantize_rows(Ej)
+    q = jnp.asarray(_mat(rng, 5))
+    for count in (8192, 5001):
+        v2, i2 = twopass_topk_int8(E_q, scales, count, q, 10)
+        v1, i1 = fused_topk_int8(E_q, scales, count, q, 10, block_rows=1024)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_twopass_int8_recall_vs_exact(rng):
+    """Quantization-limited recall: top-10 of the int8 two-pass overlaps
+    the exact f32 top-10 almost entirely."""
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
+    from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E)
+    E_q, scales = quantize_rows(Ej)
+    q = jnp.asarray(_mat(rng, 8))
+    v2, i2 = twopass_topk_int8(E_q, scales, 8192, q, 10)
+    ve, ie = exact_topk(Ej, jnp.int32(8192), q, 10)
+    i2n, ien = np.asarray(i2), np.asarray(ie)
+    recall = np.mean([len(set(i2n[r]) & set(ien[r])) / 10
+                      for r in range(i2n.shape[0])])
+    assert recall >= 0.9
+
+
+def test_device_index_int8_twopass_routing(rng):
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = _mat(rng, 8192, 128)
+    idx = DeviceIndex(dim=128, capacity=8192, tier="int8")
+    idx.add(E)
+    q = _mat(rng, 3, 128)
+    sv, sr = idx.search(q, 10)
+    Ej = jnp.asarray(E)
+    ve, ie = exact_topk(Ej, jnp.int32(8192), jnp.asarray(q), 10)
+    ien = np.asarray(ie)
+    recall = np.mean([len(set(sr[r]) & set(ien[r])) / 10 for r in range(3)])
+    assert recall >= 0.9
+
+
+def test_sharded_int8_twopass_parity(rng):
+    """Sharded int8 two-pass merges to the same rows as the single-device
+    int8 two-pass (per-shard quantization is row-local, so shards agree)."""
+    from modular_rag_system_tpu.index import DeviceIndex
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    mesh = make_index_mesh(2, devices=cpu_mesh_devices(2))
+    E = _mat(rng, 16384, 64)
+    sharded = ShardedIndex(dim=64, mesh=mesh, tier="int8")
+    sharded.add(E)
+    assert sharded.cap_s >= 8192
+    single = DeviceIndex(dim=64, capacity=16384, tier="int8")
+    single.add(E)
+    q = _mat(rng, 4, 64)
+    xv, xr = sharded.search(q, 10)
+    sv, sr = single.search(q, 10)
+    np.testing.assert_array_equal(xr, sr)
