@@ -348,7 +348,7 @@ class RAGEngine:
                 return None
         elif not (
             isinstance(self.index, DeviceIndex)
-            and self.index.tier in ("exact", "fused", "bf16")
+            and self.index.tier in ("exact", "fused", "bf16", "int8")
         ):
             return None
         import jax
@@ -392,7 +392,6 @@ class RAGEngine:
                 block_rows = min(self.index.block_rows, self.index.capacity)
 
                 def program(E, scales, count, ids, mask):
-                    del scales
                     q = module.apply({"params": params}, ids, mask)
                     if tier == "exact":
                         from modular_rag_system_tpu.ops.exact import exact_topk_raw
@@ -400,11 +399,13 @@ class RAGEngine:
                         return exact_topk_raw(E, count, q, k)
                     from modular_rag_system_tpu.ops.binmax_topk import (
                         _MIN_TWOPASS_CAP,
+                        twopass_topk_int8_raw,
                         twopass_topk_raw,
                     )
                     from modular_rag_system_tpu.ops.fused_topk import (
                         _max_block_rows,
                         _use_interpret,
+                        fused_topk_int8_raw,
                         fused_topk_raw,
                     )
 
@@ -412,17 +413,33 @@ class RAGEngine:
                     if (self.index.fused_bin_width is None
                             and cap >= _MIN_TWOPASS_CAP and cap // 32 >= k + 1):
                         br = min(max(block_rows, 4096), cap,
-                                 _max_block_rows(E.shape[1], E.dtype))
+                                 _max_block_rows(E.shape[1], jnp.bfloat16
+                                                 if tier == "int8" else E.dtype))
+                        if tier == "int8":
+                            return twopass_topk_int8_raw(
+                                E, scales.reshape(-1), count, q, k, br, 32,
+                                _use_interpret(),
+                            )
                         return twopass_topk_raw(
                             E, count, q, k, br, 32, _use_interpret(),
                         )
                     qp = q
-                    if qp.shape[0] % 8:
-                        qp = jnp.pad(qp, ((0, 8 - qp.shape[0] % 8), (0, 0)))
-                    vals, rid = fused_topk_raw(
-                        E, count, qp, k, block_rows, _use_interpret(),
-                        bin_width=self.index.fused_bin_width,
-                    )
+                    pad_mult = 16 if tier == "int8" else 8
+                    if qp.shape[0] % pad_mult:
+                        qp = jnp.pad(
+                            qp, ((0, pad_mult - qp.shape[0] % pad_mult), (0, 0))
+                        )
+                    if tier == "int8":
+                        vals, rid = fused_topk_int8_raw(
+                            E, scales.reshape(1, cap), count, qp, k,
+                            block_rows, _use_interpret(),
+                            bin_width=self.index.fused_bin_width,
+                        )
+                    else:
+                        vals, rid = fused_topk_raw(
+                            E, count, qp, k, block_rows, _use_interpret(),
+                            bin_width=self.index.fused_bin_width,
+                        )
                     return vals[: q.shape[0]], rid[: q.shape[0]]
 
             def packed(E, scales, count, ids, mask):
@@ -462,6 +479,17 @@ class RAGEngine:
                         )(self.index.E)
                         self.index.derived_rebuilds += 1
                     E_in = self.index._E_bf16
+                elif tier == "int8":
+                    if self.index._E_q is None:
+                        from modular_rag_system_tpu.ops.quantize import (
+                            quantize_rows,
+                        )
+
+                        self.index._E_q, self.index._scales = quantize_rows(
+                            self.index.E
+                        )
+                        self.index.derived_rebuilds += 1
+                    E_in, sc_in = self.index._E_q, self.index._scales
             out_dev = fn(
                 E_in,
                 sc_in,

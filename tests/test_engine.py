@@ -207,6 +207,14 @@ def test_fused_query_path_matches_two_step(tmp_storage):
     res2 = eng.query("machine learning language", max_results=3)
     assert res2.documents
     assert any(k[2] == "bf16" for k in eng._fused_query_cache)
+    # int8 tier too (round 2): one dispatch, results match the two-step path
+    eng.index.tier = "int8"
+    eng._fused_query_cache.clear()
+    scores8, rows8 = eng.index.search(q_emb, 6)
+    fused8 = eng._device_query(["machine learning language"], 6)
+    assert any(k[2] == "int8" for k in eng._fused_query_cache)
+    np.testing.assert_array_equal(fused8[1][0], rows8[0])
+    np.testing.assert_allclose(fused8[0][0], scores8[0], rtol=1e-3, atol=2e-3)
     eng.shutdown()
 
 
