@@ -72,18 +72,21 @@ def main() -> int:
     QS = jnp.asarray(rng.standard_normal((M_HI, Q, d)).astype(np.float32))
     np.asarray(jnp.sum(QS))  # force residency
 
-    def kernel_twopass(qq):
-        return twopass_topk_raw(E16, cnt, qq, k, 4096 if on_tpu else 2048,
+    # NOTE: the corpus must be an explicit jit ARGUMENT everywhere —
+    # closing over it embeds it as an HLO constant, and the remote
+    # compile service rejects the ~800 MB request body (HTTP 413)
+    def kernel_twopass(E, qq):
+        return twopass_topk_raw(E, cnt, qq, k, 4096 if on_tpu else 2048,
                                 32, interp)
 
-    def kernel_fused(qq):
-        return fused_topk_raw(E16, cnt, qq, k, 2048, interp)
+    def kernel_fused(E, qq):
+        return fused_topk_raw(E, cnt, qq, k, 2048, interp)
 
     @functools.partial(jax.jit, static_argnames=("m", "which"))
-    def chain(QS, m, which):
+    def chain(E, QS, m, which):
         def step(carry, qq):
             fn = kernel_twopass if which == "twopass" else kernel_fused
-            v, _ = fn(qq + carry * 1e-9)  # data dependency serializes steps
+            v, _ = fn(E, qq + carry * 1e-9)  # data dependency serializes
             return jnp.mean(v), None
 
         carry, _ = jax.lax.scan(step, 0.0, QS[:m])
@@ -91,7 +94,7 @@ def main() -> int:
 
     def slope_time(which):
         note(f"compiling {which} chains")
-        f = lambda m: float(np.asarray(chain(QS, m, which)))
+        f = lambda m: float(np.asarray(chain(E16, QS, m, which)))
         f(M_LO)
         f(M_HI)  # compile both
         note(f"timing {which}")
@@ -109,7 +112,7 @@ def main() -> int:
 
     note("recall check vs exact f32")
     # --- recall vs exact f32 on-device --------------------------------
-    vals, ids = jax.jit(kernel_twopass)(qj)
+    vals, ids = jax.jit(kernel_twopass)(E16, qj)
     ev, eids = exact_topk(Ej, cnt, qj, k)
     eids = np.asarray(eids)
     gids = np.asarray(ids)
