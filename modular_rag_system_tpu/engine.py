@@ -399,6 +399,7 @@ class RAGEngine:
                         return exact_topk_raw(E, count, q, k)
                     from modular_rag_system_tpu.ops.binmax_topk import (
                         _MIN_TWOPASS_CAP,
+                        auto_bin_width,
                         twopass_topk_int8_raw,
                         twopass_topk_raw,
                     )
@@ -410,18 +411,19 @@ class RAGEngine:
                     )
 
                     cap = E.shape[0]
+                    bw = auto_bin_width(cap)
                     if (self.index.fused_bin_width is None
-                            and cap >= _MIN_TWOPASS_CAP and cap // 32 >= k + 1):
+                            and cap >= _MIN_TWOPASS_CAP and cap // bw >= k + 1):
                         br = min(max(block_rows, 4096), cap,
                                  _max_block_rows(E.shape[1], jnp.bfloat16
                                                  if tier == "int8" else E.dtype))
                         if tier == "int8":
                             return twopass_topk_int8_raw(
-                                E, scales.reshape(-1), count, q, k, br, 32,
+                                E, scales.reshape(-1), count, q, k, br, bw,
                                 _use_interpret(),
                             )
                         return twopass_topk_raw(
-                            E, count, q, k, br, 32, _use_interpret(),
+                            E, count, q, k, br, bw, _use_interpret(),
                         )
                     qp = q
                     pad_mult = 16 if tier == "int8" else 8

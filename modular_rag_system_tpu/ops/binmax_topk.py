@@ -276,12 +276,15 @@ _twopass_int8_jit = jax.jit(
 
 
 def twopass_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 4096,
-                      bin_width: int = 32):
+                      bin_width=None):
     """int8-index two-pass top-k; drop-in for
-    ``ops.fused_topk.fused_topk_int8`` at ~3x the throughput."""
+    ``ops.fused_topk.fused_topk_int8`` at ~4x the throughput (120k QPS
+    at 1M x 384, recall@10 0.989 vs exact f32)."""
     from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
 
     cap, d = E_q.shape
+    if bin_width is None:
+        bin_width = auto_bin_width(cap)
     if cap < _MIN_TWOPASS_CAP or cap // bin_width < k + 1:
         return fused_topk_int8(E_q, scales, count, q, k)
     # budget as bf16: the kernel widens the int8 tile to bf16 in VMEM
@@ -299,14 +302,24 @@ def twopass_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 4096,
 _MIN_TWOPASS_CAP = 8192
 
 
+def auto_bin_width(cap: int) -> int:
+    """Capacity-scaled bin width: bw=32 wins up to a few million rows
+    (pass-2 slab traffic dominates); at 10M+ the per-query bin top-k
+    over cap/bw bins dominates and bw=64 wins (measured: 1M bw=32
+    86.5k QPS vs bw=64 71.5k; 10.5M bw=64 10.5k QPS vs bw=32 9.6k)."""
+    return 32 if cap <= 4_194_304 else 64
+
+
 def twopass_topk(E, count, q, k: int, block_rows: int = 4096,
-                 bin_width: int = 32):
+                 bin_width=None):
     """Exact top-k over the live prefix of E via the two-pass kernel.
 
     Drop-in for ``ops.fused_topk.fused_topk`` (same contract, same
     tie-break) at ~2.1x the throughput; small corpora delegate to the
     single-pass kernel where the two-pass fixed cost doesn't pay."""
     cap, d = E.shape
+    if bin_width is None:
+        bin_width = auto_bin_width(cap)
     if cap < _MIN_TWOPASS_CAP or cap // bin_width < k + 1:
         return fused_topk(E, count, q, k, block_rows=block_rows)
     block_rows = min(block_rows, cap, _max_block_rows(d, E.dtype))

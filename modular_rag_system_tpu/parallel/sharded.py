@@ -379,18 +379,20 @@ class ShardedIndex:
             elif tier in ("fused", "bf16"):
                 from modular_rag_system_tpu.ops.binmax_topk import (
                     _MIN_TWOPASS_CAP,
+                    auto_bin_width,
                     twopass_topk_raw,
                 )
                 from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
 
+                bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
-                        and cap_s // 32 >= k + 1):
+                        and cap_s // bw >= k + 1):
                     # exact two-pass kernel per shard (2.1x single-pass);
                     # ids/ties identical, so the ICI merge is unchanged
                     br = min(max(block_rows, 4096), cap_s,
                              _max_block_rows(E_s.shape[1], E_s.dtype))
                     vals, loc = twopass_topk_raw(
-                        E_s, count_s, q, k, br, 32, interpret,
+                        E_s, count_s, q, k, br, bw, interpret,
                     )
                 else:
                     vals, loc = fused_topk_raw(
@@ -400,16 +402,18 @@ class ShardedIndex:
             elif tier == "int8":
                 from modular_rag_system_tpu.ops.binmax_topk import (
                     _MIN_TWOPASS_CAP,
+                    auto_bin_width,
                     twopass_topk_int8_raw,
                 )
                 from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
 
+                bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
-                        and cap_s // 32 >= k + 1):
+                        and cap_s // bw >= k + 1):
                     br = min(max(block_rows, 4096), cap_s,
                              _max_block_rows(E_s.shape[1], jnp.bfloat16))
                     vals, loc = twopass_topk_int8_raw(
-                        E_s, scales_s.reshape(-1), count_s, q, k, br, 32,
+                        E_s, scales_s.reshape(-1), count_s, q, k, br, bw,
                         interpret,
                     )
                 else:
