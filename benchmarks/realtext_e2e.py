@@ -46,7 +46,7 @@ def main() -> int:
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         n_entities, n_relations = 352, 290        # ~102k fact docs
-        steps, batch, lr = 1200, 256, 1e-3
+        steps, batch, lr = 500, 256, 5e-4
         n_filler, eval_n, lat_n = 200, 1000, 40
         enc_over = {"embedding.num_layers": 4, "embedding.max_seq_len": 32,
                     "embedding.dtype": "float32"}
@@ -87,7 +87,8 @@ def main() -> int:
         # --- 2. fine-tune the serving encoder -------------------------
         devices = default_devices()
         mesh = make_train_mesh(len(devices), 1, devices=devices)
-        trainer = ContrastiveTrainer(eng.encoder, mesh, learning_rate=lr)
+        trainer = ContrastiveTrainer(eng.encoder, mesh, learning_rate=lr,
+                                     warmup_steps=min(100, steps // 4))
         pairs = list(zip(corpus.train_queries,
                          [corpus.docs[i] for i in corpus.train_doc_idx]))
         rng = random.Random(1)
@@ -133,6 +134,11 @@ def main() -> int:
         golds = [corpus.eval_doc_idx[i] for i in eval_ids]
 
         QB = 128
+        # warm both query shapes UNTIMED: the first call per shape pays
+        # the remote compile (tens of seconds), which is not a serving
+        # number
+        eng.query_batch(qtexts[:QB], max_results=10)
+        eng.query(qtexts[0], max_results=10)
         hits = 0
         t0 = time.perf_counter()
         for lo in range(0, len(qtexts), QB):

@@ -96,16 +96,29 @@ class ContrastiveTrainer:
         learning_rate: float = 2e-5,
         temperature: float = 0.05,
         weight_decay: float = 0.01,
+        clip_norm: float = 1.0,
+        warmup_steps: int = 0,
         data_axis: str = "data",
         model_axis: str = "model",
     ) -> None:
+        """``clip_norm`` global-norm gradient clipping (low-temperature
+        InfoNCE scales logits by 1/temp = 20x, and unclipped early steps
+        can collapse the encoder to uniform embeddings — observed at
+        ~100k-fact corpora); ``warmup_steps`` linear LR warmup."""
         self.encoder = encoder
         self.mesh = mesh
         self.temperature = temperature
         self.data_axis = data_axis
         self.model_axis = model_axis
         self.learning_rate = learning_rate
-        self.tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        if warmup_steps > 0:
+            lr_sched = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+        else:
+            lr_sched = learning_rate
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.adamw(lr_sched, weight_decay=weight_decay),
+        )
         self.params, self._param_shardings = shard_params(
             encoder.params, mesh, model_axis
         )

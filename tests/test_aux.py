@@ -246,3 +246,14 @@ def test_gui_format_stats_tolerates_missing_sections():
 
     text = format_stats({})
     assert "Retrieval engine:" in text  # degrades, never raises
+
+
+def test_bootstrap_script_syntax():
+    """setup_rag_system.sh parses (reference setup_rag_system.sh parity);
+    full execution is covered manually (spawns several interpreters)."""
+    import pathlib
+    import subprocess
+
+    script = pathlib.Path(__file__).resolve().parent.parent / "setup_rag_system.sh"
+    assert script.exists()
+    subprocess.run(["bash", "-n", str(script)], check=True)
