@@ -137,8 +137,11 @@ def config3_quant_1m(scale):
     import jax
     import jax.numpy as jnp
 
+    from modular_rag_system_tpu.ops.binmax_topk import (
+        twopass_topk,
+        twopass_topk_int8,
+    )
     from modular_rag_system_tpu.ops.exact import exact_topk
-    from modular_rag_system_tpu.ops.fused_topk import fused_topk, fused_topk_int8
     from modular_rag_system_tpu.ops.quantize import quantize_rows
 
     N = 1_048_576 if scale == "full" else 65_536
@@ -158,10 +161,10 @@ def config3_quant_1m(scale):
         arrs = prep()
         _sync(arrs[0])
         if tier == "bf16":
-            fn = lambda: fused_topk(arrs[0], cnt, qj, k, block_rows=2048)
+            fn = lambda: twopass_topk(arrs[0], cnt, qj, k)
             mem = N * d * 2
         else:
-            fn = lambda: fused_topk_int8(arrs[0], arrs[1], cnt, qj, k, block_rows=2048)
+            fn = lambda: twopass_topk_int8(arrs[0], arrs[1], cnt, qj, k)
             mem = N * d + N * 4
         vals, ids = fn()
         np.asarray(vals)
