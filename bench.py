@@ -116,8 +116,36 @@ def main() -> int:
         QS1 = QS[:, :Q1]
         dt128 = slope_time("twopass", QS1)
         fused_dt = slope_time("fused", QS1)
+        # int8 tier at its optimal batch (Q=128): 4x less HBM than f32
+        from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8_raw
+        from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+        E_q, scales = quantize_rows(Ej)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def chain_i8(Eq, sc, qs, m):
+            def step(carry, qq):
+                v, _ = twopass_topk_int8_raw(
+                    Eq, sc, cnt, qq + carry * 1e-9, k, 4096, 32, interp)
+                return jnp.mean(v), None
+
+            carry, _ = jax.lax.scan(step, 0.0, qs[:m])
+            return carry
+
+        note("compiling int8 chains")
+        fi8 = lambda m: float(np.asarray(chain_i8(E_q, scales, QS1, m)))
+        fi8(M_LO)
+        fi8(M_HI)
+        note("timing int8")
+        ts8 = {M_LO: [], M_HI: []}
+        for _ in range(4):
+            for m in (M_LO, M_HI):
+                t0 = time.perf_counter()
+                fi8(m)
+                ts8[m].append(time.perf_counter() - t0)
+        dt_i8 = (min(ts8[M_HI]) - min(ts8[M_LO])) / (M_HI - M_LO)
     else:
-        QS1, dt128, fused_dt = QS, dt, dt
+        QS1, dt128, fused_dt, dt_i8 = QS, dt, dt, dt
 
     note("recall check vs exact f32")
     # --- recall vs exact f32 on-device --------------------------------
@@ -157,6 +185,7 @@ def main() -> int:
         "query_batch": Q,
         "cpu_baseline_qps": round(cpu_qps, 2),
         "q128_qps": round(Q1 / dt128, 1),
+        "int8_q128_qps": round(Q1 / dt_i8, 1),
         "singlepass_q128_qps": round(Q1 / fused_dt, 1),
         "effective_gbps": round(N * d * 2 / dt / 1e9, 1),
         "timing": "chained-scan slope (relay RTT cancels)",
