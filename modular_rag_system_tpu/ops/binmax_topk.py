@@ -127,13 +127,117 @@ def _check_params(cap: int, block_rows: int, bin_width: int):
         )
 
 
+def _rescan_kernel(bins_ref, count_ref, q_ref, *rest, kb: int, bin_width: int,
+                   k: int):
+    """Pass-2 rescan, one query per grid step: DMA exactly this query's
+    candidate bins (scalar-prefetched block indices), rescore on the MXU
+    with the SAME q-cast as pass 1, select top-k in VMEM.
+
+    Measured 727 GB/s DMA / 0.42 ms full at Q=128 x 11 x 128-row bins —
+    an earlier benchmark deemed this design "pathologically slow" (30 ms)
+    because it closed over the corpus, shipping it as an HLO constant;
+    with E as a proper operand the kernel is DMA-bound.  End to end it
+    only beats the XLA slab gather at Q=512+ (see twopass_topk_raw).
+
+    Mosaic requires block sublanes of 8+ (or the full array dim), so the
+    per-query row is extracted from the full (Q, d) q block via a
+    one-hot matmul, and outputs are (Q, k) blocks accumulated with a
+    row-select where (both patterns measured in the 0.42 ms figure)."""
+    tiles = rest[:kb]
+    vals_ref, ids_ref = rest[kb], rest[kb + 1]
+    i = pl.program_id(0)
+    Q, d = q_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        vals_ref[:] = jnp.full_like(vals_ref, _NEG_INF)
+        ids_ref[:] = jnp.full_like(ids_ref, -1)
+
+    # extract query row i (dynamic sublane slicing is unsupported; a
+    # (1, Q) x (Q, d) one-hot dot is MXU-cheap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    onehot = (rows == i).astype(q_ref.dtype)
+    qi = jax.lax.dot_general(
+        onehot, q_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, d) f32
+    count = count_ref[0]
+    scs = []
+    gds = []
+    for j in range(kb):
+        tile = tiles[j][:]  # (bin_width, d)
+        s = jax.lax.dot_general(
+            qi.astype(tile.dtype), tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, bw)
+        base = bins_ref[i, j] * bin_width
+        gid = base + jax.lax.broadcasted_iota(jnp.int32, (1, bin_width), 1)
+        scs.append(jnp.where(gid < count, s, _NEG_INF))
+        gds.append(gid)
+    vals, ids = _select_topk(
+        jnp.concatenate(scs, axis=1), jnp.concatenate(gds, axis=1), k
+    )  # (1, k)
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0) == i
+    vals_ref[:] = jnp.where(rowsel, jnp.broadcast_to(vals, (Q, k)), vals_ref[:])
+    ids_ref[:] = jnp.where(rowsel, jnp.broadcast_to(ids, (Q, k)), ids_ref[:])
+
+
+def rescan_call(E, bins, count, q, k: int, bin_width: int, interpret: bool):
+    """(cap, d) x per-query bins (Q, kb) -> exact (vals, ids) (Q, k)."""
+    cap, d = E.shape
+    Q, kb = bins.shape
+    kern = functools.partial(_rescan_kernel, kb=kb, bin_width=bin_width, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Q,),
+        in_specs=[
+            pl.BlockSpec((Q, d), lambda i, b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((bin_width, d),
+                         functools.partial(
+                             lambda j, i, b, c: (b[i, j], 0), jj),
+                         memory_space=pltpu.VMEM)
+            for jj in range(kb)
+        ],
+        out_specs=(
+            pl.BlockSpec((Q, k), lambda i, b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, k), lambda i, b, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    vals, ids = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Q, k), jnp.float32),
+            jax.ShapeDtypeStruct((Q, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * kb * bin_width * d,
+            bytes_accessed=Q * kb * bin_width * d * E.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bins, count.reshape(1), q, *([E] * kb))
+    return vals, ids
+
+
 def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
-                     interpret: bool):
+                     interpret: bool, kernel_rescan: bool = False):
     """Traceable exact two-pass top-k (composes inside jit / shard_map).
 
     ``E`` (cap, d) f32 or bf16; ``count`` i32 live-prefix length; ``q``
     (Q, d) f32, any Q (padded to the 128-lane multiple internally).
     Returns (vals (Q, k) f32, ids (Q, k) i32), ties broken by smallest id.
+    ``kernel_rescan`` selects the Pallas pass-2 instead of the default
+    XLA slab gather.  Measured end to end (1M x 384 bf16) the two are a
+    wash at Q<=256 (kernel 113.2k vs slab 112.8k QPS at Q=256; slab wins
+    at Q=128) and the kernel gains ~10% only at Q=512+ (116.4k vs
+    105.2k), so the simpler slab gather is the default.
     """
     cap, d = E.shape
     Q = q.shape[0]
@@ -151,6 +255,11 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
     kb = min(k + 1, nb)
     _, bins = jax.lax.top_k(bm, kb)  # (Qp, kb), distinct per row
+
+    if kernel_rescan:
+        count32 = jnp.asarray(count, jnp.int32)
+        vals, ids = rescan_call(E, bins, count32, q, k, bin_width, interpret)
+        return vals[:Q], ids[:Q]
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
     rid = (bins * bin_width)[:, :, None] + offs  # (Qp, kb, bw)
@@ -170,7 +279,8 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
 
 _twopass_jit = jax.jit(
     twopass_topk_raw,
-    static_argnames=("k", "block_rows", "bin_width", "interpret"),
+    static_argnames=("k", "block_rows", "bin_width", "interpret",
+                     "kernel_rescan"),
 )
 
 

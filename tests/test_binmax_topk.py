@@ -200,3 +200,26 @@ def test_sharded_int8_twopass_parity(rng):
     xv, xr = sharded.search(q, 10)
     sv, sr = single.search(q, 10)
     np.testing.assert_array_equal(xr, sr)
+
+
+def test_kernel_rescan_matches_slab_gather(rng):
+    """The optional Pallas pass-2 returns the same ids as the default
+    XLA slab gather (both exact, same tie-break)."""
+    E = _mat(rng, 8192)
+    E[100] = E[7]
+    Ej = jnp.asarray(E).astype(jnp.bfloat16)
+    q = jnp.asarray(_mat(rng, 4))
+    import functools
+
+    import jax
+
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_raw
+
+    mk = lambda kr: jax.jit(functools.partial(
+        twopass_topk_raw, k=10, block_rows=2048, bin_width=32,
+        interpret=True, kernel_rescan=kr))
+    vk, ik = mk(True)(Ej, jnp.int32(5001), q)
+    vs, is_ = mk(False)(Ej, jnp.int32(5001), q)
+    np.testing.assert_array_equal(np.asarray(ik), np.asarray(is_))
+    np.testing.assert_allclose(np.asarray(vk), np.asarray(vs),
+                               rtol=1e-3, atol=2e-3)
