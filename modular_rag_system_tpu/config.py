@@ -129,6 +129,11 @@ class ServingConfig:
     llm_timeout_s: float = 30.0
     response_cache_ttl_s: float = 300.0
     response_cache_max: int = 100
+    # HTTP /query micro-batching: concurrent single queries coalesce into
+    # one device dispatch (TPU QPS scales with batch — see batching.py).
+    # 0 disables (each request dispatches alone).
+    query_batch_window_ms: float = 4.0
+    query_batch_max: int = 256
 
 
 @dataclass

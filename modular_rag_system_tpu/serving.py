@@ -13,8 +13,10 @@ JSON API over the same ThreadingHTTPServer pattern:
     GET  /files             (delegated to the file manager's listing)
 
 CORS matches the reference's permissive ``*``.  The server is a daemon
-thread; generation-scale workloads should batch via the engine API — this
-endpoint is the orchestration-parity surface, not the throughput path.
+thread.  Non-enhanced ``POST /query`` requests flow through a
+``QueryBatcher`` (``batching.py``): concurrent single queries coalesce
+into one device dispatch, so HTTP throughput rides the kernel's
+batch-scaling curve instead of paying one corpus scan per request.
 """
 
 from __future__ import annotations
@@ -32,12 +34,23 @@ class RAGHTTPServer:
         self.port = port
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        self.batcher = None
+        scfg = getattr(system.engine.config, "serving", None)
+        if scfg is not None and scfg.query_batch_window_ms > 0:
+            from modular_rag_system_tpu.batching import QueryBatcher
+
+            self.batcher = QueryBatcher(
+                system.engine,
+                window_ms=scfg.query_batch_window_ms,
+                max_batch=scfg.query_batch_max,
+            )
 
     # ------------------------------------------------------------------
     def start(self) -> int:
         if self._server is not None:
             return self.port
         system = self.system
+        batcher = self.batcher
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):
@@ -67,7 +80,10 @@ class RAGHTTPServer:
                                      "docs": system.engine.index.count,
                                      "tier": system.engine.index.tier})
                 elif self.path == "/stats":
-                    self._send(200, system.get_system_stats())
+                    stats = system.get_system_stats()
+                    if batcher is not None:
+                        stats["query_batcher"] = dict(batcher.stats)
+                    self._send(200, stats)
                 elif self.path == "/files":
                     self._send(200, {"files": system.files.list_files()})
                 else:
@@ -91,13 +107,18 @@ class RAGHTTPServer:
                             self._send(200, resp)
                         else:
                             threshold = body.get("similarity_threshold")
-                            res = system.engine.query(
-                                body["query"],
-                                max_results=int(body.get("max_results", 5)),
-                                similarity_threshold=(
-                                    float(threshold) if threshold is not None else None
-                                ),
-                            )
+                            thr = float(threshold) if threshold is not None else None
+                            k = int(body.get("max_results", 5))
+                            if batcher is not None:
+                                res = batcher.submit(
+                                    body["query"], max_results=k,
+                                    similarity_threshold=thr,
+                                )
+                            else:
+                                res = system.engine.query(
+                                    body["query"], max_results=k,
+                                    similarity_threshold=thr,
+                                )
                             self._send(200, {
                                 "query": body["query"],
                                 "results": [
@@ -141,3 +162,6 @@ class RAGHTTPServer:
             self._server.server_close()
             self._server = None
             self._thread = None
+        if self.batcher is not None:
+            self.batcher.close()
+            self.batcher = None
