@@ -12,14 +12,23 @@ threshold, filters) so every member of a flush shares one device
 program; ``query()``/``query_batch()`` parity (VERDICT r1 item 5) makes
 the coalesced result identical to the sequential one.
 
-The reference had no analog (its only HTTP surface was the file server);
-this is the TPU-first serving pattern the hardware rewards.
+The reference had no analog (its only HTTP surface was the file server).
+
+WHEN IT PAYS: coalescing saves DEVICE-SERIAL scan time, not round-trip
+latency.  Measured on a 200k-row corpus (scan ~0.5 ms, relay RTT
+~30 ms) 48 unbatched threads pipeline better than the batcher (192 vs
+142 QPS), so the serving default is OFF.  On 10M-row-class corpora each
+unbatched request serializes a ~12 ms scan on the chip — 48 concurrent
+requests queue ~580 ms of device work that one coalesced flush covers
+in ~14 ms — which is where ``serving.query_batch_window_ms ~= 25``
+earns its keep.
 """
 
 from __future__ import annotations
 
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
 
 
@@ -37,7 +46,12 @@ class QueryBatcher:
     """Coalesces concurrent ``submit`` calls into ``engine.query_batch``."""
 
     def __init__(self, engine, window_ms: float = 4.0,
-                 max_batch: int = 256) -> None:
+                 max_batch: int = 256, flush_workers: int = 4) -> None:
+        """``flush_workers`` flushes run CONCURRENTLY: a flush pays the
+        full dispatch round trip (tens of ms through a device relay)
+        plus host post-processing, so serializing them caps throughput
+        at 1/flush-latency regardless of batch size.  Coalescing +
+        pipelining keeps the device busy while earlier flushes drain."""
         self.engine = engine
         self.window_s = max(window_ms, 0.0) / 1000.0
         self.max_batch = max(max_batch, 1)
@@ -47,6 +61,10 @@ class QueryBatcher:
         self._groups: Dict[Tuple, Tuple[float, List[_Pending]]] = {}
         self._stop = False
         self.stats = {"queries": 0, "flushes": 0, "max_flush": 0}
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(flush_workers, 1),
+            thread_name_prefix="query-batch-flush",
+        )
         self._thread = threading.Thread(
             target=self._run, name="query-batcher", daemon=True
         )
@@ -57,8 +75,13 @@ class QueryBatcher:
                similarity_threshold: Optional[float] = None,
                source_filters: Optional[Tuple[str, ...]] = None,
                metadata_filters: Optional[Tuple[Tuple[str, Any], ...]] = None,
-               timeout_s: float = 30.0):
-        """Blocking single-query submit; returns a RetrievalResult."""
+               timeout_s: float = 600.0):
+        """Blocking single-query submit; returns a RetrievalResult.
+
+        ``timeout_s`` guards against a dead collector, not slow work:
+        the FIRST query after an index growth recompiles the search
+        program, which can take minutes through a remote-compile
+        tunnel."""
         key = (max_results, similarity_threshold, source_filters,
                metadata_filters)
         p = _Pending(text)
@@ -104,7 +127,7 @@ class QueryBatcher:
                         else max(next_deadline - now, 0.0)
                     )
             for key, lst in batches:
-                self._flush(key, lst)
+                self._pool.submit(self._flush, key, lst)
 
     def _flush(self, key: Tuple, lst: List[_Pending]) -> None:
         max_results, threshold, src, meta = key
@@ -131,4 +154,7 @@ class QueryBatcher:
         with self._cond:
             self._stop = True
             self._cond.notify()
-        self._thread.join(timeout=5)
+        # allow in-flight flushes (possibly compiling) to finish —
+        # killing the interpreter mid-device-call aborts the process
+        self._thread.join(timeout=60)
+        self._pool.shutdown(wait=True, cancel_futures=False)

@@ -130,9 +130,12 @@ class ServingConfig:
     response_cache_ttl_s: float = 300.0
     response_cache_max: int = 100
     # HTTP /query micro-batching: concurrent single queries coalesce into
-    # one device dispatch (TPU QPS scales with batch — see batching.py).
-    # 0 disables (each request dispatches alone).
-    query_batch_window_ms: float = 4.0
+    # one device dispatch (see batching.py).  OFF by default: measured on
+    # a 200k-row corpus the per-dispatch relay round trip dominates and
+    # thread-level pipelining wins (192 vs 142 QPS at 48 clients).
+    # Enable (~25 ms) for 10M-row-class corpora, where each unbatched
+    # request serializes a ~12 ms device scan and coalescing amortizes it.
+    query_batch_window_ms: float = 0.0
     query_batch_max: int = 256
 
 

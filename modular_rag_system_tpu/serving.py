@@ -150,7 +150,14 @@ class RAGHTTPServer:
                 except Exception as exc:
                     self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        class Server(ThreadingHTTPServer):
+            # default TCP backlog (5) resets connections under bursts of
+            # concurrent clients — exactly the load the query batcher is
+            # built for
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._server = Server((self.host, self.port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
