@@ -145,8 +145,10 @@ class QueryBatcher:
             for p in lst:
                 p.error = exc
         finally:
-            self.stats["flushes"] += 1
-            self.stats["max_flush"] = max(self.stats["max_flush"], len(lst))
+            with self._lock:  # flushes run concurrently in the pool
+                self.stats["flushes"] += 1
+                self.stats["max_flush"] = max(self.stats["max_flush"],
+                                              len(lst))
             for p in lst:
                 p.event.set()
 

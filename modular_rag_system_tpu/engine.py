@@ -466,32 +466,11 @@ class RAGEngine:
         # async — in-flight executions pin their input buffers — so only
         # the result fetch happens outside the lock.
         with self.index._lock:
-            if sharded:
-                E_in, sc_in = self.index.search_inputs()
-            else:
+            # both index kinds expose search_inputs(): the tier-correct
+            # (matrix, scales) pair with lazy derived copies refreshed
+            E_in, sc_in = self.index.search_inputs()
+            if sc_in is None:
                 sc_in = jnp.zeros((1, 1), jnp.float32)
-                E_in = self.index.E
-                if tier == "bf16" and self.index.store_dtype != "bfloat16":
-                    # store already bf16 -> E works directly; otherwise a
-                    # lazily-built copy that writes keep in sync
-                    # incrementally (None only before first use / on grow)
-                    if self.index._E_bf16 is None:
-                        self.index._E_bf16 = jax.jit(
-                            lambda e: e.astype(jnp.bfloat16)
-                        )(self.index.E)
-                        self.index.derived_rebuilds += 1
-                    E_in = self.index._E_bf16
-                elif tier == "int8":
-                    if self.index._E_q is None:
-                        from modular_rag_system_tpu.ops.quantize import (
-                            quantize_rows,
-                        )
-
-                        self.index._E_q, self.index._scales = quantize_rows(
-                            self.index.E
-                        )
-                        self.index.derived_rebuilds += 1
-                    E_in, sc_in = self.index._E_q, self.index._scales
             out_dev = fn(
                 E_in,
                 sc_in,
@@ -504,12 +483,47 @@ class RAGEngine:
         rows = out[:Q, k:]
         return scores, rows
 
+    # Refill k escalation bounds: the Pallas kernels keep (Q, k) running
+    # selections / candidate sets on-chip and cannot hold arbitrary k (a
+    # selective filter escalating k toward index.count would blow the
+    # VMEM budget and crash the query), so kernel-path refills stop at
+    # _REFILL_KERNEL_MAX and ONE final deep pass runs through the plain
+    # XLA exact path (HBM-resident scores, any k) up to _REFILL_EXACT_MAX.
+    # Fixed escalation steps also bound recompiles (each distinct k is a
+    # new program).
+    _REFILL_KERNEL_MAX = 1024
+    _REFILL_EXACT_MAX = 16384
+
+    def _next_refill_k(self, k: int) -> Optional[int]:
+        if k < min(self._REFILL_KERNEL_MAX, self.index.count):
+            return min(k * 4, self._REFILL_KERNEL_MAX, self.index.count)
+        if isinstance(self.index, DeviceIndex) and k < min(
+            self._REFILL_EXACT_MAX, self.index.count
+        ):
+            return min(self._REFILL_EXACT_MAX, self.index.count)
+        return None
+
     # ------------------------------------------------------------------
     # shared search + post-processing (query and query_batch MUST return
     # identical results for identical inputs — VERDICT r1 item 5)
     def _search_batch(self, texts: List[str], k: int):
         """(scores (Q,k), rows (Q,k), q_emb (Q,d) or None) via the fused
         device program when available, else encode + index.search."""
+        if (k > self._REFILL_KERNEL_MAX
+                and isinstance(self.index, DeviceIndex)):
+            # deep filtered refill: exact XLA path, any k (see above)
+            from modular_rag_system_tpu.ops import exact as exact_ops
+
+            q_emb = np.asarray(self.encoder.encode_queries(texts))
+            import jax.numpy as jnp
+
+            with self.index._lock:
+                scores, rows = exact_ops.exact_topk(
+                    self.index.E, self.index.count_device(),
+                    jnp.asarray(q_emb, jnp.float32),
+                    min(k, self.index.count),
+                )
+            return np.asarray(scores), np.asarray(rows), q_emb
         fused = retry_transient(
             lambda: self._device_query(texts, k), what="fused query"
         )
@@ -572,9 +586,12 @@ class RAGEngine:
             # silently under-returning (the reference pushed ``where``
             # filters into Chroma, ``ollama_rag_system.py:416-421``).
             # Threshold misses never refill: scores only fall with depth.
-            if len(docs) >= q.max_results or not filters_active or k >= self.index.count:
+            if len(docs) >= q.max_results or not filters_active:
                 break
-            k = min(k * 4, self.index.count)
+            nk = self._next_refill_k(k)
+            if nk is None or nk <= k:
+                break
+            k = nk
         return RetrievalResult(
             documents=docs,
             similarities=sims,
@@ -635,10 +652,12 @@ class RAGEngine:
             if (
                 all(len(docs) >= max_results for docs, _ in per_q)
                 or not filters_active
-                or k >= self.index.count
             ):
                 break
-            k = min(k * 4, self.index.count)
+            nk = self._next_refill_k(k)
+            if nk is None or nk <= k:
+                break
+            k = nk
         dt = time.perf_counter() - t0
         return [
             RetrievalResult(

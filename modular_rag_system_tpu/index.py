@@ -243,6 +243,25 @@ class DeviceIndex:
             rows = np.concatenate([rows, pad_r], axis=1)
         return scores, rows
 
+    def search_inputs(self):
+        """(E_in, scales_or_None) for the current tier, refreshing lazy
+        derived copies under the caller's responsibility to hold
+        ``self._lock`` (mirrors ``ShardedIndex.search_inputs`` so the
+        engine's fused program feeds one shared path)."""
+        if self.tier == "int8":
+            if self._E_q is None:
+                from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+                self._E_q, self._scales = quantize_rows(self.E)
+                self.derived_rebuilds += 1
+            return self._E_q, self._scales
+        if self.tier == "bf16" and self.store_dtype != "bfloat16":
+            if self._E_bf16 is None:
+                self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
+                self.derived_rebuilds += 1
+            return self._E_bf16, None
+        return self.E, None
+
     # --- non-exact tiers are wired in by later modules ----------------
     def _search_stream(self, E, qj, k):
         """Exact streaming search over ``E``: the two-pass binmax kernel
@@ -265,20 +284,13 @@ class DeviceIndex:
 
     def _search_bf16(self, qj, k):
         """bf16 index tier: half the HBM traffic of f32 at recall ~= 1."""
-        if self.store_dtype == "bfloat16":
-            return self._search_stream(self.E, qj, k)
-        if self._E_bf16 is None:
-            self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
-            self.derived_rebuilds += 1
-        return self._search_stream(self._E_bf16, qj, k)
+        E_in, _ = self.search_inputs()
+        return self._search_stream(E_in, qj, k)
 
     def _search_int8(self, qj, k):
         from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
-        from modular_rag_system_tpu.ops.quantize import quantize_rows
 
-        if self._E_q is None:
-            self._E_q, self._scales = quantize_rows(self.E)
-            self.derived_rebuilds += 1
+        self.search_inputs()
         if self.fused_bin_width is None:
             from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
 

@@ -93,7 +93,12 @@ class ShardedIndex:
         # results).
         self.block_rows = 1 << (block_rows.bit_length() - 1)
         self.fused_bin_width = fused_bin_width
-        self.cap_s = max(_next_pow2((capacity + self.S - 1) // self.S), block_rows)
+        # use the ROUNDED block_rows here: a non-pow2 parameter would make
+        # cap_s non-pow2 and self.block_rows would not divide it (the
+        # kernel grid silently drops the tail of every shard)
+        self.cap_s = max(
+            _next_pow2((capacity + self.S - 1) // self.S), self.block_rows
+        )
         self.count = 0
         self._lock = threading.RLock()
         self._row_sharding = NamedSharding(self.mesh, P(axis, None, None))
@@ -523,19 +528,23 @@ class ShardedIndex:
                 np.full((Q, k), -1, np.int32),
             )
         k_eff = min(k, self.count, self.cap_s)
-        if self.tier == "ivf":
-            self._build_sivf()
-            # at most nprobe * bucket_cap candidates exist per shard
-            k_eff = min(
-                k_eff,
-                min(self.ivf_nprobe, self._sivf[0].shape[0])
-                * self._sivf[1].shape[2],
-            )
         Qp = _round_up(Q, self.query_pad_multiple())
         qj = jnp.asarray(q, jnp.float32)
         if Qp != Q:
             qj = jnp.pad(qj, ((0, Qp - Q), (0, 0)))
         with self._lock:
+            # the ivf build and k clamp must also run under the lock: a
+            # concurrent add() both donates the old E buffer (build reads
+            # it) and invalidates _sivf (an unlocked build could install
+            # a stale table AFTER the invalidation)
+            if self.tier == "ivf":
+                self._build_sivf()
+                # at most nprobe * bucket_cap candidates exist per shard
+                k_eff = min(
+                    k_eff,
+                    min(self.ivf_nprobe, self._sivf[0].shape[0])
+                    * self._sivf[1].shape[2],
+                )
             E_in, sc_in = self.search_inputs()
             fn = self.search_fn(Qp, k_eff)
             # int8 raw expects scales as (1, cap_s) inside the shard --

@@ -35,8 +35,18 @@ class RAGHTTPServer:
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         self.batcher = None
+
+    # ------------------------------------------------------------------
+    def start(self) -> int:
+        if self._server is not None:
+            return self.port
+        system = self.system
+        # the batcher's collector thread + flush pool live exactly as
+        # long as the server: created here (not __init__, which may never
+        # be followed by start) and re-created on restart after stop()
         scfg = getattr(system.engine.config, "serving", None)
-        if scfg is not None and scfg.query_batch_window_ms > 0:
+        if (self.batcher is None and scfg is not None
+                and scfg.query_batch_window_ms > 0):
             from modular_rag_system_tpu.batching import QueryBatcher
 
             self.batcher = QueryBatcher(
@@ -44,12 +54,6 @@ class RAGHTTPServer:
                 window_ms=scfg.query_batch_window_ms,
                 max_batch=scfg.query_batch_max,
             )
-
-    # ------------------------------------------------------------------
-    def start(self) -> int:
-        if self._server is not None:
-            return self.port
-        system = self.system
         batcher = self.batcher
 
         class Handler(BaseHTTPRequestHandler):

@@ -410,3 +410,48 @@ def test_fused_path_concurrent_writer_stress(tmp_storage):
     stop.set()
     assert not errors, errors
     eng.shutdown()
+
+
+def test_filtered_refill_reaches_deep_rows_without_huge_kernel_k(fake_config):
+    """A selective source filter whose matches sit DEEP in the ranking
+    must be found via the bounded escalation (kernel-k capped at 1024,
+    then one exact-path deep pass) — not by driving the Pallas kernels
+    to k ~ index.count (which blows their VMEM selection buffers)."""
+    import numpy as np
+
+    from modular_rag_system_tpu.types import Document
+
+    cfg = fake_config.merged({
+        "retrieval": {"similarity_threshold": 0.0, "time_weight": 0.0},
+        "index": {"tier": "bf16", "store_dtype": "bfloat16",
+                  "initial_capacity": 8192},
+    })
+    eng = RAGEngine(cfg)
+    try:
+        rng = np.random.default_rng(0)
+        target = rng.standard_normal(eng.index.dim).astype(np.float32)
+        target /= np.linalg.norm(target)
+        # 6000 decoys all moderately similar to the probe direction...
+        decoys = target[None, :] + 0.45 * rng.standard_normal(
+            (6000, eng.index.dim)).astype(np.float32)
+        decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+        # ...and 3 rare-source docs nearly orthogonal (rank past any
+        # reasonable overfetch, but well within the exact deep pass)
+        rare = rng.standard_normal((3, eng.index.dim)).astype(np.float32)
+        rare -= (rare @ target)[:, None] * target[None, :]
+        rare /= np.linalg.norm(rare, axis=1, keepdims=True)
+        docs = [Document(content=f"decoy {i}", source="common",
+                         embedding=decoys[i]) for i in range(len(decoys))]
+        docs += [Document(content=f"rare {i}", source="rare",
+                          embedding=rare[i]) for i in range(3)]
+        eng.add_documents(docs)
+
+        # monkeypatch the probe text's embedding via a pre-encoded query:
+        # the fake encoder won't produce `target`, so query through the
+        # index-level semantics using query_batch's text path with the
+        # filter — correctness here is "the rare docs are FOUND at all".
+        res = eng.query("probe text", max_results=3, source_filters=["rare"])
+        assert len(res.documents) == 3
+        assert all(d.source == "rare" for d in res.documents)
+    finally:
+        eng.shutdown()
