@@ -86,6 +86,10 @@ class QueryBatcher:
                metadata_filters)
         p = _Pending(text)
         with self._cond:
+            if self._stop:
+                # fail fast rather than parking for the full timeout: the
+                # collector has already exited and will never flush us
+                raise RuntimeError("QueryBatcher is closed")
             now = time.monotonic()
             first, lst = self._groups.get(key, (now, []))
             lst.append(p)
@@ -127,7 +131,12 @@ class QueryBatcher:
                         else max(next_deadline - now, 0.0)
                     )
             for key, lst in batches:
-                self._pool.submit(self._flush, key, lst)
+                # a group can exceed max_batch between collector wakeups
+                # (submit appends while a flush window is open); split so
+                # compiled device batch shapes stay bounded by max_batch
+                for i in range(0, len(lst), self.max_batch):
+                    self._pool.submit(self._flush, key,
+                                      lst[i:i + self.max_batch])
 
     def _flush(self, key: Tuple, lst: List[_Pending]) -> None:
         max_results, threshold, src, meta = key
@@ -159,4 +168,14 @@ class QueryBatcher:
         # allow in-flight flushes (possibly compiling) to finish —
         # killing the interpreter mid-device-call aborts the process
         self._thread.join(timeout=60)
+        # the collector exits without flushing: fail any pending submit
+        # immediately instead of leaving it parked for its full timeout
+        # (submit racing close can still enqueue before _stop lands)
+        with self._cond:
+            orphans, self._groups = self._groups, {}
+        err = RuntimeError("QueryBatcher closed before dispatch")
+        for _first, lst in orphans.values():
+            for p in lst:
+                p.error = err
+                p.event.set()
         self._pool.shutdown(wait=True, cancel_futures=False)

@@ -371,7 +371,12 @@ class RAGEngine:
         # query dominated single-query latency. sync_encoder()-style param
         # swaps must invalidate via the id() check below.
         params = self.encoder.params
-        key = (Qp, k, tier, self.index.capacity, sharded, id(params))
+        # fused_bin_width is baked into the compiled program (it selects
+        # two-pass vs legacy binned mode at trace time), so it must key
+        # the cache: changing it on a live engine must not serve the
+        # stale kernel path (ADVICE r2).
+        key = (Qp, k, tier, self.index.capacity, sharded, id(params),
+               self.index.fused_bin_width)
         fn = self._fused_query_cache.get(key)
         if fn is None:
             # evict programs compiled against superseded params: their
@@ -497,9 +502,11 @@ class RAGEngine:
     def _next_refill_k(self, k: int) -> Optional[int]:
         if k < min(self._REFILL_KERNEL_MAX, self.index.count):
             return min(k * 4, self._REFILL_KERNEL_MAX, self.index.count)
-        if isinstance(self.index, DeviceIndex) and k < min(
-            self._REFILL_EXACT_MAX, self.index.count
-        ):
+        if k < min(self._REFILL_EXACT_MAX, self.index.count):
+            # deep pass exists for BOTH index kinds: plain XLA exact on a
+            # DeviceIndex, per-shard exact top-k + merge on a ShardedIndex
+            # (`ShardedIndex.search_deep`) — a selective filter on a mesh
+            # must not silently under-return (ADVICE r2, medium).
             return min(self._REFILL_EXACT_MAX, self.index.count)
         return None
 
@@ -509,19 +516,23 @@ class RAGEngine:
     def _search_batch(self, texts: List[str], k: int):
         """(scores (Q,k), rows (Q,k), q_emb (Q,d) or None) via the fused
         device program when available, else encode + index.search."""
-        if (k > self._REFILL_KERNEL_MAX
-                and isinstance(self.index, DeviceIndex)):
+        if k > self._REFILL_KERNEL_MAX:
             # deep filtered refill: exact XLA path, any k (see above)
-            from modular_rag_system_tpu.ops import exact as exact_ops
-
             q_emb = np.asarray(self.encoder.encode_queries(texts))
-            import jax.numpy as jnp
+            if isinstance(self.index, DeviceIndex):
+                import jax.numpy as jnp
 
-            with self.index._lock:
-                scores, rows = exact_ops.exact_topk(
-                    self.index.E, self.index.count_device(),
-                    jnp.asarray(q_emb, jnp.float32),
-                    min(k, self.index.count),
+                from modular_rag_system_tpu.ops import exact as exact_ops
+
+                with self.index._lock:
+                    scores, rows = exact_ops.exact_topk(
+                        self.index.E, self.index.count_device(),
+                        jnp.asarray(q_emb, jnp.float32),
+                        min(k, self.index.count),
+                    )
+            else:
+                scores, rows = self.index.search_deep(
+                    q_emb, min(k, self.index.count)
                 )
             return np.asarray(scores), np.asarray(rows), q_emb
         fused = retry_transient(
@@ -801,6 +812,9 @@ class RAGEngine:
                     block_rows=self.index.block_rows,
                     fused_bin_width=self.index.fused_bin_width,
                     store_dtype=self.index.store_dtype,
+                    ivf_clusters=self.index.ivf_clusters,
+                    ivf_nprobe=self.index.ivf_nprobe,
+                    ivf_iters=self.index.ivf_iters,
                 )
             else:
                 self.index = DeviceIndex(

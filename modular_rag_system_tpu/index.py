@@ -334,13 +334,18 @@ class DeviceIndex:
             np.savez(path, embeddings=live, count=self.count, dim=self.dim)
 
     @classmethod
-    def load(cls, path: str, tier: str = "exact", block_rows: int = 1024) -> "DeviceIndex":
+    def load(cls, path: str, tier: str = "exact", block_rows: int = 1024,
+             fused_bin_width: Optional[int] = None,
+             ivf_clusters: Optional[int] = None, ivf_nprobe: int = 8,
+             ivf_iters: int = 10) -> "DeviceIndex":
         data = np.load(path)
         dim = int(data["dim"])
         count = int(data["count"])
         store_dtype = "bfloat16" if "embeddings_bf16" in data else "float32"
         idx = cls(dim=dim, capacity=max(count, 4096), tier=tier,
-                  block_rows=block_rows, store_dtype=store_dtype)
+                  block_rows=block_rows, store_dtype=store_dtype,
+                  fused_bin_width=fused_bin_width, ivf_clusters=ivf_clusters,
+                  ivf_nprobe=ivf_nprobe, ivf_iters=ivf_iters)
         if count:
             idx.add(snapshot_embeddings(data)[:count])
         return idx

@@ -63,6 +63,15 @@ _NEG_INF = float("-inf")
 # ~35 MB (~0.1 ms) — negligible next to the pass-1 corpus stream.
 _LANE = 128
 
+# Extra candidate bins beyond the k+1 the exactness argument needs.  The
+# argument assumes pass-1 (Pallas dot) and pass-2 (XLA einsum) f32
+# accumulations agree bit-for-bit; measured they do, but a 1-ulp
+# accumulation-order divergence at the kth-bin boundary would silently
+# drop a true top-k row.  One margin bin absorbs any single boundary
+# flip (each additional ulp-tied bin is another independent ~ulp
+# coincidence) at ~9% extra pass-2 slab traffic for k=10 (ADVICE r2).
+_MARGIN_BINS = 1
+
 
 def _round_to_dtype_f32(x, dtype):
     """f32 -> nearest value representable in ``dtype``, returned as f32.
@@ -255,7 +264,7 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     straddle = (bin_base < count) & (bin_base + bin_width > count)
     bm = jnp.where(dead[None, :], _NEG_INF, binmax)
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
-    kb = min(k + 1, nb)
+    kb = min(k + 1 + _MARGIN_BINS, nb)
     _, bins = jax.lax.top_k(bm, kb)  # (Qp, kb), distinct per row
 
     if kernel_rescan:
@@ -362,7 +371,7 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     straddle = (bin_base < count) & (bin_base + bin_width > count)
     bm = jnp.where(dead[None, :], _NEG_INF, binmax)
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
-    kb = min(k + 1, nb)
+    kb = min(k + 1 + _MARGIN_BINS, nb)
     _, bins = jax.lax.top_k(bm, kb)
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)

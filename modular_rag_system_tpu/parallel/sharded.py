@@ -520,6 +520,97 @@ class ShardedIndex:
             self._search_cache[key] = fn
         return fn
 
+    # ------------------------------------------------------------------
+    def _build_deep_exact(self, Qp: int, k: int):
+        """Exact any-k search: per-shard plain-XLA top-k (HBM-resident
+        scores, no kernel VMEM bound) merged to a GLOBAL k that may
+        exceed ``cap_s`` (up to S * cap_s) — the deep filtered-refill
+        escape hatch the DeviceIndex path got in round 2 (ADVICE r2)."""
+        S, axis, cap_s = self.S, self.axis, self.cap_s
+        k_local = min(k, cap_s)
+        hierarchical = isinstance(axis, tuple)
+
+        def _shard_id():
+            if hierarchical:
+                dcn_ax, ici_ax = axis
+                ici_size = self.mesh.shape[ici_ax]
+                return (jax.lax.axis_index(dcn_ax) * ici_size
+                        + jax.lax.axis_index(ici_ax))
+            return jax.lax.axis_index(axis)
+
+        def body(E_s, count, q):
+            E_s = E_s[0]
+            s = _shard_id()
+            count_s = jnp.maximum(0, (count - s + S - 1) // S)
+            scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
+            scores = jnp.where(col < count_s, scores, -jnp.inf)
+            vals, loc = jax.lax.top_k(scores, k_local)
+            gids = loc.astype(jnp.int32) * S + s
+            gids = jnp.where(jnp.isfinite(vals), gids, np.int32(2**31 - 1))
+
+            def gather_merge(v, g, ax, km):
+                av = jax.lax.all_gather(v, ax)
+                ag = jax.lax.all_gather(g, ax)
+                n_ax, Qp_, kk = av.shape
+                cv = jnp.transpose(av, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                cg = jnp.transpose(ag, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                # two-key sort (-score, gid): same smallest-id tie-break
+                # as select_topk but O(n log n) at ANY k — select_topk
+                # unrolls k selection steps and is unusable at deep-k
+                neg, gs = jax.lax.sort((-cv, cg), dimension=1, num_keys=2)
+                return -neg[:, :km], gs[:, :km]
+
+            if hierarchical:
+                dcn_ax, ici_ax = axis
+                n_ici = self.mesh.shape[ici_ax]
+                vals, gids = gather_merge(
+                    vals, gids, ici_ax, min(k, n_ici * k_local)
+                )
+                return gather_merge(vals, gids, dcn_ax, k)
+            return gather_merge(vals, gids, axis, k)
+
+        fn = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(axis, None, None), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search_deep(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k with no ``cap_s`` clamp (k up to S * cap_s)."""
+        Q = q.shape[0]
+        if self.count == 0:
+            return (
+                np.full((Q, k), -np.inf, np.float32),
+                np.full((Q, k), -1, np.int32),
+            )
+        k_eff = min(k, self.count, self.S * self.cap_s)
+        Qp = _round_up(Q, 8)
+        qj = jnp.asarray(q, jnp.float32)
+        if Qp != Q:
+            qj = jnp.pad(qj, ((0, Qp - Q), (0, 0)))
+        with self._lock:
+            key = ("deep", Qp, k_eff, self.cap_s)
+            fn = self._search_cache.get(key)
+            if fn is None:
+                fn = self._build_deep_exact(Qp, k_eff)
+                self._search_cache[key] = fn
+            vals, gids = fn(self.E, self.count_device(), qj)
+        vals = np.asarray(vals)[:Q]
+        gids = np.asarray(gids)[:Q]
+        gids = np.where(np.isfinite(vals), gids, -1)
+        if k_eff < k:
+            vals = np.concatenate(
+                [vals, np.full((Q, k - k_eff), -np.inf, np.float32)], axis=1
+            )
+            gids = np.concatenate(
+                [gids, np.full((Q, k - k_eff), -1, np.int32)], axis=1
+            )
+        return vals, gids
+
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         Q = q.shape[0]
         if self.count == 0:
@@ -580,7 +671,9 @@ class ShardedIndex:
             np.savez(path, embeddings=live, count=count, dim=self.dim)
 
     @classmethod
-    def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024):
+    def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024,
+             fused_bin_width=None, ivf_clusters: Optional[int] = None,
+             ivf_nprobe: int = 8, ivf_iters: int = 10):
         from modular_rag_system_tpu.index import snapshot_embeddings
 
         data = np.load(path)
@@ -592,6 +685,10 @@ class ShardedIndex:
             tier=tier,
             block_rows=block_rows,
             store_dtype=store_dtype,
+            fused_bin_width=fused_bin_width,
+            ivf_clusters=ivf_clusters,
+            ivf_nprobe=ivf_nprobe,
+            ivf_iters=ivf_iters,
         )
         if int(data["count"]):
             idx.add(np.asarray(

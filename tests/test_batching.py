@@ -154,3 +154,61 @@ def test_http_query_path_batches(fake_config):
     finally:
         server.stop()
         s.shutdown()
+
+
+def test_submit_after_close_raises():
+    """ADVICE r2: a submit racing close must fail fast, not park for the
+    full timeout (the collector has already exited without flushing)."""
+    b = QueryBatcher(FakeEngine(), window_ms=5, max_batch=8)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit("late")
+
+
+def test_close_fails_parked_submitters_immediately():
+    eng = FakeEngine()
+    b = QueryBatcher(eng, window_ms=60_000, max_batch=64)
+    errs = {}
+
+    def worker():
+        try:
+            b.submit("parked", timeout_s=30)
+        except BaseException as e:  # noqa: BLE001 - recorded for assert
+            errs["e"] = e
+
+    t = threading.Thread(target=worker)
+    t.start()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:  # wait for the pending to enqueue
+        with b._lock:
+            if b._groups:
+                break
+        time.sleep(0.01)
+    t0 = time.monotonic()
+    b.close()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert time.monotonic() - t0 < 5.0, "close left the submitter parked"
+    assert isinstance(errs.get("e"), RuntimeError)
+
+
+def test_oversized_group_is_split_at_flush():
+    """ADVICE r2: a group grown past max_batch between collector wakeups
+    must flush in max_batch-sized chunks (bounded compiled batch shapes)."""
+    from modular_rag_system_tpu.batching import _Pending
+
+    eng = FakeEngine()
+    b = QueryBatcher(eng, window_ms=60_000, max_batch=4)
+    try:
+        key = (5, None, None, None)
+        pendings = [_Pending(f"q{i}") for i in range(10)]
+        with b._cond:
+            # simulate submits racing a held-open window
+            b._groups[key] = (time.monotonic() - 120.0, list(pendings))
+            b._cond.notify()
+        for p in pendings:
+            assert p.event.wait(10)
+        assert eng.calls and all(len(c[0]) <= 4 for c in eng.calls)
+        assert sum(len(c[0]) for c in eng.calls) == 10
+    finally:
+        b.close()

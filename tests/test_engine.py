@@ -455,3 +455,75 @@ def test_filtered_refill_reaches_deep_rows_without_huge_kernel_k(fake_config):
         assert all(d.source == "rare" for d in res.documents)
     finally:
         eng.shutdown()
+
+
+def test_filtered_refill_reaches_deep_rows_sharded(fake_config):
+    """ADVICE r2 (medium): on a ShardedIndex the refill escalation must
+    not stop at the kernel cap — a deep exact pass (per-shard XLA top-k
+    + merge, k allowed past cap_s) finds matches anywhere in the corpus."""
+    import numpy as np
+
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from modular_rag_system_tpu.types import Document
+
+    cfg = fake_config.merged({
+        "retrieval": {"similarity_threshold": 0.0, "time_weight": 0.0},
+        "index": {"tier": "bf16", "store_dtype": "bfloat16",
+                  "initial_capacity": 8192},
+        "mesh": {"index_shards": 8},
+    })
+    eng = RAGEngine(cfg)
+    try:
+        assert isinstance(eng.index, ShardedIndex)
+        rng = np.random.default_rng(0)
+        target = rng.standard_normal(eng.index.dim).astype(np.float32)
+        target /= np.linalg.norm(target)
+        decoys = target[None, :] + 0.45 * rng.standard_normal(
+            (6000, eng.index.dim)).astype(np.float32)
+        decoys /= np.linalg.norm(decoys, axis=1, keepdims=True)
+        rare = rng.standard_normal((3, eng.index.dim)).astype(np.float32)
+        rare -= (rare @ target)[:, None] * target[None, :]
+        rare /= np.linalg.norm(rare, axis=1, keepdims=True)
+        docs = [Document(content=f"decoy {i}", source="common",
+                         embedding=decoys[i]) for i in range(len(decoys))]
+        docs += [Document(content=f"rare {i}", source="rare",
+                          embedding=rare[i]) for i in range(3)]
+        eng.add_documents(docs)
+        # the deep pass must need k > cap_s for this to regress-test the
+        # any-k merge (weakness 8: silent cap_s clamp)
+        assert eng.index.cap_s < eng.index.count
+        res = eng.query("probe text", max_results=3, source_filters=["rare"])
+        assert len(res.documents) == 3
+        assert all(d.source == "rare" for d in res.documents)
+    finally:
+        eng.shutdown()
+
+
+def test_tier_config_survives_compact_and_reembed(fake_config):
+    """VERDICT r2 item 7: index tier config (ivf_*, fused_bin_width)
+    must survive compact() and reembed_all() on BOTH index classes."""
+    for shards in (1, 8):
+        cfg = fake_config.merged({
+            "index": {"tier": "ivf", "ivf_clusters": 8, "ivf_nprobe": 3,
+                      "ivf_iters": 4},
+            "mesh": {"index_shards": shards},
+        })
+        eng = RAGEngine(cfg)
+        try:
+            for text, source in CORPUS:
+                eng.add_document(text, source=source)
+
+            def chk(where):
+                assert eng.index.ivf_clusters == 8, where
+                assert eng.index.ivf_nprobe == 3, where
+                assert eng.index.ivf_iters == 4, where
+
+            chk("init")
+            eng.compact()
+            chk(f"compact shards={shards}")
+            eng.reembed_all()
+            chk(f"reembed shards={shards}")
+            res = eng.query("programming language", max_results=2)
+            assert res.documents
+        finally:
+            eng.shutdown()
