@@ -188,7 +188,7 @@ def config4_ivf_sweep(scale):
     import jax.numpy as jnp
 
     from modular_rag_system_tpu.ops.exact import exact_topk
-    from modular_rag_system_tpu.ops.ivf import IVFIndex
+    from modular_rag_system_tpu.ops.ivf2 import IVF2, ivf2_search_core
 
     N = 4_194_304 if scale == "full" else 131_072
     d, Q, k = 384, 64, 10
@@ -218,26 +218,37 @@ def config4_ivf_sweep(scale):
     eids = np.asarray(_sync(eids))
     n_clusters = int(round(N ** 0.5))
     t0 = time.perf_counter()
-    ivf = IVFIndex.build(Ej, N, n_clusters=n_clusters, iters=8)
-    _sync(ivf.centroids)
+    ivf = IVF2.build(Ej, N, n_clusters=n_clusters, iters=8,
+                     fine_dtype="bf16" if scale != "full" else "int8")
+    _sync(ivf.E_c3)
     build_s = time.perf_counter() - t0
+    sc3 = (ivf.scales3 if ivf.scales3 is not None
+           else jnp.zeros((1, 1), jnp.float32))
     curve = []
+    U = 4
     for nprobe in (1, 2, 4, 8, 16, 32):
         if nprobe > n_clusters:
             break
-        vals, ids = ivf.search(qj, k, nprobe=nprobe)
+        L = ivf.slots_for_nprobe(nprobe)
+        L = ((L + U - 1) // U) * U
+        core = jax.jit(functools.partial(
+            ivf2_search_core, k=k, nprobe=nprobe, L=L, tail_max=0, U=U))
+        cnt = jnp.int32(N)
+        args = (Ej, ivf.E_c3, sc3, ivf.perm, ivf.centroids, ivf.blk_start,
+                ivf.nblk, ivf.counts, cnt, cnt, qj)
+        vals, ids = core(*args)
         np.asarray(vals)
         iters = 10 if scale == "full" else 3
         t0 = time.perf_counter()
         for _ in range(iters):
-            vals, ids = ivf.search(qj, k, nprobe=nprobe)
+            vals, ids = core(*args)
         np.asarray(vals)
         dt = (time.perf_counter() - t0) / iters
         curve.append({"nprobe": nprobe, "qps": round(Q / dt, 1),
                       "recall_at_10": round(_recall(eids, np.asarray(ids), k), 4)})
-    _emit({"config": 4, "name": "ivf-sweep", "rows": N,
-           "clusters": n_clusters, "build_s": round(build_s, 2),
-           "bucket_cap": ivf.bucket_cap, "curve": curve,
+    _emit({"config": 4, "name": "ivf-sweep (ivf2 cluster-contiguous)",
+           "rows": N, "clusters": n_clusters, "build_s": round(build_s, 2),
+           "nblocks": ivf.nblocks, "curve": curve,
            "backend": jax.default_backend()})
 
 

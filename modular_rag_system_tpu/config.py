@@ -69,10 +69,19 @@ class IndexConfig:
     # (multiple of 128): ~bin_width x less selection work at recall@10
     # ~0.998; None = exact selection
     fused_bin_width: Optional[int] = None
-    # IVF parameters
-    ivf_clusters: int = 256
+    # IVF parameters (tier="ivf", ops/ivf2.py).  None clusters = auto
+    # ~sqrt(N) at build time.
+    ivf_clusters: Optional[int] = None
     ivf_nprobe: int = 8
     ivf_iters: int = 10
+    # fine-stage storage: "bf16" | "int8" | "auto" (int8 past 4M rows —
+    # HBM: a 10M bf16 fine copy next to the master does not fit one v5e)
+    ivf_fine_dtype: str = "auto"
+    # rebuild (re-cluster) from the WRITE path when unclustered tail +
+    # stale rows exceed max(ivf_rebuild_min, ivf_tail_frac * count);
+    # queries serve the tail exactly in the meantime and never rebuild
+    ivf_tail_frac: float = 0.25
+    ivf_rebuild_min: int = 32768
     # search this many extra results to allow host-side metadata filtering
     overfetch: int = 4
 

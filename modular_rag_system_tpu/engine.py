@@ -92,6 +92,9 @@ class RAGEngine:
                 ivf_clusters=self.config.index.ivf_clusters,
                 ivf_nprobe=self.config.index.ivf_nprobe,
                 ivf_iters=self.config.index.ivf_iters,
+                ivf_fine_dtype=self.config.index.ivf_fine_dtype,
+                ivf_tail_frac=self.config.index.ivf_tail_frac,
+                ivf_rebuild_min=self.config.index.ivf_rebuild_min,
             )
         else:
             self.index = DeviceIndex(
@@ -104,6 +107,9 @@ class RAGEngine:
                 ivf_iters=self.config.index.ivf_iters,
                 fused_bin_width=self.config.index.fused_bin_width,
                 store_dtype=self.config.index.store_dtype,
+                ivf_fine_dtype=self.config.index.ivf_fine_dtype,
+                ivf_tail_frac=self.config.index.ivf_tail_frac,
+                ivf_rebuild_min=self.config.index.ivf_rebuild_min,
             )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size
@@ -758,6 +764,9 @@ class RAGEngine:
                 ivf_clusters=self.index.ivf_clusters,
                 ivf_nprobe=self.index.ivf_nprobe,
                 ivf_iters=self.index.ivf_iters,
+                ivf_fine_dtype=self.index.ivf_fine_dtype,
+                ivf_tail_frac=self.index.ivf_tail_frac,
+                ivf_rebuild_min=self.index.ivf_rebuild_min,
             )
         else:
             self.index = DeviceIndex(
@@ -770,6 +779,9 @@ class RAGEngine:
                 ivf_iters=self.index.ivf_iters,
                 fused_bin_width=self.index.fused_bin_width,
                 store_dtype=self.index.store_dtype,
+                ivf_fine_dtype=self.index.ivf_fine_dtype,
+                ivf_tail_frac=self.index.ivf_tail_frac,
+                ivf_rebuild_min=self.index.ivf_rebuild_min,
             )
         if len(live_old):
             self.index.add(live_emb)
@@ -815,6 +827,9 @@ class RAGEngine:
                     ivf_clusters=self.index.ivf_clusters,
                     ivf_nprobe=self.index.ivf_nprobe,
                     ivf_iters=self.index.ivf_iters,
+                    ivf_fine_dtype=self.index.ivf_fine_dtype,
+                    ivf_tail_frac=self.index.ivf_tail_frac,
+                    ivf_rebuild_min=self.index.ivf_rebuild_min,
                 )
             else:
                 self.index = DeviceIndex(
@@ -827,6 +842,9 @@ class RAGEngine:
                     ivf_iters=self.index.ivf_iters,
                     fused_bin_width=self.index.fused_bin_width,
                     store_dtype=self.index.store_dtype,
+                    ivf_fine_dtype=self.index.ivf_fine_dtype,
+                    ivf_tail_frac=self.index.ivf_tail_frac,
+                    ivf_rebuild_min=self.index.ivf_rebuild_min,
                 )
             self.index.add(mat)
             if tombstones:

@@ -55,6 +55,9 @@ class DeviceIndex:
         ivf_iters: int = 10,
         fused_bin_width: Optional[int] = None,
         store_dtype: str = "float32",
+        ivf_fine_dtype: str = "auto",
+        ivf_tail_frac: float = 0.25,
+        ivf_rebuild_min: int = 32768,
     ) -> None:
         """``store_dtype="bfloat16"`` halves the master matrix's HBM
         footprint (10M x 384 fits one v5e chip at 7.7 GB vs 15.4 GB f32);
@@ -86,8 +89,16 @@ class DeviceIndex:
         # observability: incremental rows maintained vs full rebuilds
         self.derived_incremental_rows = 0
         self.derived_rebuilds = 0
-        # ivf tier state
-        self._ivf = None
+        # ivf tier state (ops/ivf2): INCREMENTAL — writes never
+        # invalidate the build (VERDICT r2 item 2).  Appended rows live
+        # in an exact-scanned tail; a rebuild folds them in, triggered
+        # from the write path when the tail passes the threshold below.
+        self.ivf_fine_dtype = ivf_fine_dtype
+        self.ivf_tail_frac = ivf_tail_frac
+        self.ivf_rebuild_min = ivf_rebuild_min
+        self.ivf_rebuilds = 0
+        self._ivf2 = None
+        self._ivf2_cache: dict = {}
 
     # ------------------------------------------------------------------
     def add(self, mat: np.ndarray) -> Tuple[int, int]:
@@ -118,7 +129,7 @@ class DeviceIndex:
             self._update_derived_append(buf, self.count)
             self.count += n
             self._count_dev = None
-            self._ivf = None
+            self._maybe_build_ivf2()
             return first, n
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -129,9 +140,12 @@ class DeviceIndex:
         self.E = jnp.zeros((new_cap, self.dim), dtype=self._jdtype)
         self.E = exact_ops.append_rows(self.E, old, jnp.int32(0))
         self.capacity = new_cap
-        # shapes changed: derived copies rebuild lazily at next use
+        # shapes changed: derived copies rebuild lazily at next use.
+        # The ivf2 structure SURVIVES growth (its fine copy and perm are
+        # independent of E's capacity; inv_perm covers the built prefix,
+        # which predates the growth) — only its program cache keys on
+        # capacity via the tail window.
         self._E_q = self._scales = self._E_bf16 = None
-        self._ivf = None
 
     def delete_rows(self, rows: np.ndarray) -> None:
         if rows.size == 0:
@@ -141,7 +155,8 @@ class DeviceIndex:
             self._update_derived_rows(
                 rows, np.zeros((len(rows), self.dim), np.float32)
             )
-            self._ivf = None
+            if self._ivf2 is not None:
+                self._ivf2.update_rows(rows, None)  # O(batch) scatter
 
     def count_device(self) -> jax.Array:
         """Device-resident count scalar, cached: creating it per search
@@ -161,7 +176,10 @@ class DeviceIndex:
                 jnp.asarray(mat, dtype=jnp.float32),
             )
             self._update_derived_rows(rows, mat)
-            self._ivf = None
+            if self._ivf2 is not None:
+                # O(batch) in-place sync; the row keeps its OLD cluster
+                # until the next rebuild (counted as drift)
+                self._ivf2.update_rows(rows, mat)
 
     # ------------------------------------------------------------------
     # derived tier maintenance (int8 / bf16 copies of E)
@@ -303,18 +321,77 @@ class DeviceIndex:
             block_rows=self.block_rows, bin_width=self.fused_bin_width,
         )
 
-    def _search_ivf(self, qj, k):
-        from modular_rag_system_tpu.ops.ivf import IVFIndex
+    # ------------------------------------------------------------------
+    # ivf tier (ops/ivf2): cluster-contiguous fine stage + exact tail
+    _IVF_AUTO_INT8_ROWS = 4_194_304  # past this, bf16 fine copy + master
+    # would not fit one v5e's HBM together
 
-        if self._ivf is None:
-            self._ivf = IVFIndex.build(
+    def _maybe_build_ivf2(self) -> None:
+        """Write-path rebuild trigger: (re)cluster when the exact tail +
+        stale rows pass the threshold.  Queries never rebuild — they
+        serve the tail exactly in the meantime (VERDICT r2 item 2)."""
+        if self.tier != "ivf" or self.count == 0:
+            return
+        built = self._ivf2.built if self._ivf2 else 0
+        stale = self._ivf2.stale_rows if self._ivf2 else 0
+        pending = self.count - built + stale
+        if pending >= max(self.ivf_rebuild_min,
+                          int(self.ivf_tail_frac * self.count)):
+            self.build_ann()
+
+    def build_ann(self) -> None:
+        """(Re)build the clustered structure over the current corpus."""
+        from modular_rag_system_tpu.ops.ivf2 import IVF2
+
+        fdt = self.ivf_fine_dtype
+        if fdt == "auto":
+            fdt = "int8" if self.count > self._IVF_AUTO_INT8_ROWS else "bf16"
+        with self._lock:
+            self._ivf2 = IVF2.build(
                 self.E,
                 self.count,
                 n_clusters=self.ivf_clusters,
                 iters=self.ivf_iters,
                 nprobe=self.ivf_nprobe,
+                fine_dtype=fdt,
             )
-        return self._ivf.search(qj, k)
+            self._ivf2.version = self.ivf_rebuilds
+            self._ivf2_cache.clear()
+            self.ivf_rebuilds += 1
+
+    def _search_ivf(self, qj, k):
+        import functools
+
+        from modular_rag_system_tpu.ops import ivf2 as ivf2_ops
+        from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+
+        iv = self._ivf2
+        if iv is None:
+            # below the build threshold the ivf tier IS the exact stream
+            # (recall 1.0; the clustered trade only pays at scale)
+            return self._search_stream(self.E, qj, k)
+        nprobe = min(self.ivf_nprobe, iv.n_clusters)
+        U = 4
+        L = iv.slots_for_nprobe(nprobe)
+        L = ((L + U - 1) // U) * U
+        tail = self.count - iv.built
+        tail_max = 0 if tail <= 0 else min(
+            max(8192, _next_pow2(tail)), self.capacity
+        )
+        key = (qj.shape[0], k, nprobe, L, tail_max, self.capacity,
+               iv.version, iv.fine_dtype)
+        fn = self._ivf2_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                ivf2_ops.ivf2_search_core, k=k, nprobe=nprobe, L=L,
+                tail_max=tail_max, U=U, interpret=_use_interpret(),
+            ))
+            self._ivf2_cache[key] = fn
+        sc3 = (iv.scales3 if iv.scales3 is not None
+               else jnp.zeros((1, 1), jnp.float32))
+        return fn(self.E, iv.E_c3, sc3, iv.perm, iv.centroids,
+                  iv.blk_start, iv.nblk, iv.counts, jnp.int32(iv.built),
+                  self.count_device(), qj)
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:

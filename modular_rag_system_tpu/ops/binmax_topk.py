@@ -72,6 +72,43 @@ _LANE = 128
 # coincidence) at ~9% extra pass-2 slab traffic for k=10 (ADVICE r2).
 _MARGIN_BINS = 1
 
+# Bin-selection group size for the two-level pruned top-k below.
+_GROUP = 512
+
+
+def select_bins(bm, kb: int):
+    """Exact top-``kb`` bins of ``bm`` (Qp, nb), ties by LOWEST bin id.
+
+    Direct ``lax.top_k`` over nb = cap/bin_width bins is the stage that
+    made end-to-end QPS regress with Q (measured 0.45 ms of the 2.4 ms
+    Q=256 batch at 1M rows).  Two levels instead:
+
+    1. group maxima (nb/_GROUP groups) -> top-(kb+2) groups.  Any bin in
+       the true top-kb has a group max >= the kb-th bin value, and fewer
+       than kb groups can beat that value (each would contribute a
+       better bin), so the true top-kb bins all live in the selected
+       groups; +2 margin absorbs exact ties at the group boundary.
+    2. an id-stable ``_select_topk`` over the surviving kg * _GROUP
+       candidates restores the lowest-bin-id tie order a direct top_k
+       would have produced (group order ranks by max, not id).
+    """
+    Qp, nb = bm.shape
+    if nb % _GROUP or nb // _GROUP <= kb + 2:
+        _, bins = jax.lax.top_k(bm, kb)
+        return bins
+    G = nb // _GROUP
+    g3 = bm.reshape(Qp, G, _GROUP)
+    gmax = jnp.max(g3, axis=2)
+    kg = min(kb + 2, G)
+    _, gsel = jax.lax.top_k(gmax, kg)  # (Qp, kg)
+    cand_v = jnp.take_along_axis(g3, gsel[:, :, None], axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _GROUP), 2)
+    cand_b = gsel[:, :, None] * _GROUP + iota
+    _, bins = _select_topk(
+        cand_v.reshape(Qp, kg * _GROUP), cand_b.reshape(Qp, kg * _GROUP), kb
+    )
+    return bins
+
 
 def _round_to_dtype_f32(x, dtype):
     """f32 -> nearest value representable in ``dtype``, returned as f32.
@@ -265,7 +302,7 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     bm = jnp.where(dead[None, :], _NEG_INF, binmax)
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
     kb = min(k + 1 + _MARGIN_BINS, nb)
-    _, bins = jax.lax.top_k(bm, kb)  # (Qp, kb), distinct per row
+    bins = select_bins(bm, kb)  # (Qp, kb), distinct per row
 
     if kernel_rescan:
         count32 = jnp.asarray(count, jnp.int32)
@@ -296,32 +333,39 @@ _twopass_jit = jax.jit(
 
 
 # ---------------------------------------------------------------------------
-# int8 variant: 4x less pass-1 HBM traffic than f32 (2x vs bf16).  The
-# round-1 single-pass int8 kernel LOST to bf16 (27.5k vs 31k QPS) because
-# the per-tile selection VPU cost dominated; with selection gone the
-# stream is traffic-bound and int8's advantage materializes.
-def _binmax_int8_kernel(q_ref, e_ref, scale_ref, out_ref, *, bin_width: int):
-    tile = e_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 exact in [-127,127]
-    q = q_ref[:]  # (Q, d) bf16
+# int8 variant: 4x less pass-1 HBM traffic than f32 (2x vs bf16) AND 2x
+# the MXU rate.  The round-1 single-pass int8 kernel LOST to bf16 (27.5k
+# vs 31k QPS) because the per-tile selection VPU cost dominated; with
+# selection gone the stream is traffic-bound at small Q.  At Q >= 256
+# the bf16 matmul itself hits the MXU roofline (measured 179 TFLOP/s ~
+# v5e bf16 peak at Q=256), so the QUERY is quantized too and the dot
+# runs int8 x int8 -> int32 at the 2x int8 MXU rate; the per-(row,query)
+# dequant then happens in the f32 epilogue before the bin reduce.
+def _binmax_int8_kernel(q_ref, qscale_ref, e_ref, scale_ref, out_ref, *,
+                        bin_width: int):
+    tile = e_ref[:]  # (B, d) int8
+    q = q_ref[:]  # (Q, d) int8
     scores = jax.lax.dot_general(
         tile, q,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B, Q): q . int_row, exact in the int factor
+        preferred_element_type=jnp.int32,
+    )  # (B, Q) exact int32
     B, Q = scores.shape
     nb_tile = B // bin_width
     # scales arrive bin-major (nb_tile, bin_width) so the per-row scale
     # broadcasts over the Q lanes without a 128x-padded (B, 1) block
-    s3 = scores.reshape(nb_tile, bin_width, Q) * scale_ref[:][:, :, None]
+    s3 = (scores.astype(jnp.float32).reshape(nb_tile, bin_width, Q)
+          * scale_ref[:][:, :, None] * qscale_ref[:][None, :, :])
     out_ref[:] = jnp.max(s3, axis=1)
 
 
-def binmax_int8_call(E_q, scales_bins, q, block_rows: int, bin_width: int,
-                     interpret: bool):
-    """(cap, d) int8 x (Q, d) bf16 -> (nb, Q) per-bin maxima of the
-    DEQUANTIZED scores; ``scales_bins`` is (nb, bin_width) f32."""
+def binmax_int8_call(E_q, scales_bins, q_i8, q_scale, block_rows: int,
+                     bin_width: int, interpret: bool):
+    """(cap, d) int8 x (Q, d) int8 queries -> (nb, Q) per-bin maxima of
+    the DEQUANTIZED scores; ``scales_bins`` is (nb, bin_width) f32 and
+    ``q_scale`` (1, Q) f32 per-query scales."""
     cap, d = E_q.shape
-    Q = q.shape[0]
+    Q = q_i8.shape[0]
     grid = cap // block_rows
     nb_tile = block_rows // bin_width
     nb = cap // bin_width
@@ -331,6 +375,7 @@ def binmax_int8_call(E_q, scales_bins, q, block_rows: int, bin_width: int,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((Q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb_tile, bin_width), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -342,7 +387,7 @@ def binmax_int8_call(E_q, scales_bins, q, block_rows: int, bin_width: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, E_q, scales_bins)
+    )(q_i8, q_scale, E_q, scales_bins)
 
 
 def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
@@ -360,11 +405,16 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
     nb = cap // bin_width
-    q16 = q.astype(jnp.bfloat16)
+    # quantize the QUERY per row for the int8 x int8 MXU path; pass-1
+    # only selects bins (pass 2 rescores with the f32 query), so the
+    # extra query rounding is absorbed by the straddle + margin bins
+    qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
+    q_i8 = jnp.clip(jnp.round(q / qmax * 127.0), -127, 127).astype(jnp.int8)
+    q_scale = (qmax / 127.0).reshape(1, Qp)
     scales_bins = scales.reshape(nb, bin_width)
 
     binmax = binmax_int8_call(
-        E_q, scales_bins, q16, block_rows, bin_width, interpret
+        E_q, scales_bins, q_i8, q_scale, block_rows, bin_width, interpret
     ).T  # (Qp, nb)
     bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
     dead = bin_base >= count
@@ -372,7 +422,7 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     bm = jnp.where(dead[None, :], _NEG_INF, binmax)
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
     kb = min(k + 1 + _MARGIN_BINS, nb)
-    _, bins = jax.lax.top_k(bm, kb)
+    bins = select_bins(bm, kb)
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
     rid = (bins * bin_width)[:, :, None] + offs

@@ -64,6 +64,9 @@ class ShardedIndex:
         ivf_clusters: Optional[int] = None,
         ivf_nprobe: int = 8,
         ivf_iters: int = 10,
+        ivf_fine_dtype: str = "auto",
+        ivf_tail_frac: float = 0.25,
+        ivf_rebuild_min: int = 32768,
     ) -> None:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
@@ -122,8 +125,11 @@ class ShardedIndex:
         self.ivf_clusters = ivf_clusters
         self.ivf_nprobe = ivf_nprobe
         self.ivf_iters = ivf_iters
-        self._sivf = None
-        self._sivf_version = 0
+        self.ivf_fine_dtype = ivf_fine_dtype
+        self.ivf_tail_frac = ivf_tail_frac
+        self.ivf_rebuild_min = ivf_rebuild_min
+        self.ivf_rebuilds = 0
+        self._ivf2 = None
 
     # ------------------------------------------------------------------
     @property
@@ -154,7 +160,7 @@ class ShardedIndex:
             self._update_derived_scatter(s_idx, j_idx, mat)
             self.count += n
             self._count_dev = None
-            self._sivf = None
+            self._maybe_build_ivf2()
             return first, n
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -169,9 +175,11 @@ class ShardedIndex:
         )(grown, old)
         self.E = grown
         self.cap_s = new_cap_s
-        # shapes changed: derived copies rebuild lazily at next use
+        # shapes changed: derived copies rebuild lazily at next use.
+        # The ivf2 structure SURVIVES growth: the strided global<->local
+        # mapping is cap_s-independent and inv_perm covers the built
+        # prefix, which predates the growth.
         self._E_q = self._scales = self._E_bf16 = None
-        self._sivf = None
         self._search_cache.clear()
 
     def delete_rows(self, rows: np.ndarray) -> None:
@@ -189,7 +197,9 @@ class ShardedIndex:
             self._update_derived_scatter(
                 s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
             )
-            self._sivf = None
+            self._ivf2_update_rows(
+                s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
+            )
 
     def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
@@ -204,7 +214,7 @@ class ShardedIndex:
                 jnp.asarray(mat).astype(self._jdtype),
             )
             self._update_derived_scatter(s_idx, j_idx, mat)
-            self._sivf = None
+            self._ivf2_update_rows(s_idx, j_idx, mat)
 
     # ------------------------------------------------------------------
     def _update_derived_scatter(self, s_idx, j_idx, mat) -> None:
@@ -247,111 +257,249 @@ class ShardedIndex:
         self.derived_rebuilds += 1
 
     # ------------------------------------------------------------------
-    def _build_sivf(self) -> None:
-        """Build the sharded IVF structure (VERDICT r1 item 3): SPMD
-        k-means over the mesh, then a PER-SHARD device bucket fill over
-        local row positions.  Centroids replicate; only (C, d) partials
-        cross the interconnect during clustering."""
-        if self._sivf is not None:
+    # sharded IVF v2 (ops/ivf2): global SPMD k-means + PER-SHARD
+    # cluster-contiguous slab layout over local rows; queries run the
+    # same fine-kernel + exact-tail core per shard and merge over ICI.
+    def _maybe_build_ivf2(self) -> None:
+        """Write-path rebuild trigger (mirrors DeviceIndex): re-cluster
+        when the exact tail + stale rows pass the threshold.  Queries
+        never rebuild."""
+        if self.tier != "ivf" or self.count == 0:
             return
-        from jax.sharding import PartitionSpec as P
+        built = self._ivf2.built if self._ivf2 else 0
+        stale = self._ivf2.stale_rows if self._ivf2 else 0
+        pending = self.count - built + stale
+        if pending >= max(self.ivf_rebuild_min,
+                          int(self.ivf_tail_frac * self.count)):
+            self.build_ann()
 
-        from modular_rag_system_tpu.ops.ivf import (
-            IVFIndex,
-            _greedy_overflow_assign,
-            bucket_fill_core,
+    def build_ann(self) -> None:
+        """(Re)build the sharded cluster-contiguous structure.  Only
+        (S, C)-sized tables cross the host<->device link; the corpus
+        moves HBM->HBM inside each shard."""
+        from modular_rag_system_tpu.ops.ivf2 import (
+            SLAB,
+            _fill_chunk_core,
+            order_counts_core,
         )
         from modular_rag_system_tpu.ops.kmeans import kmeans_fit_sharded
 
-        count, S, axis = self.count, self.S, self.axis
-        C = self.ivf_clusters
-        if C is None:
-            C = int(max(8, min(max(count, 1), round(max(count, 1) ** 0.5))))
-        C = min(C, max(count, 1))
-        # seeds: evenly-spaced GLOBAL rows, gathered on device
-        if count:
+        with self._lock:
+            count, S, axis, mesh = self.count, self.S, self.axis, self.mesh
+            if count == 0:
+                return
+            C = self.ivf_clusters
+            if C is None:
+                C = int(max(8, min(count, round(count ** 0.5))))
+            C = min(max(C, 1), count)
+            fdt = self.ivf_fine_dtype
+            if fdt == "auto":
+                fdt = "int8" if count > 4_194_304 else "bf16"
+            int8 = fdt == "int8"
+            # seeds: evenly-spaced GLOBAL rows, gathered on device
             seed_g = np.linspace(0, count - 1, C).astype(np.int64)
             s_idx, j_idx = self._phys_pos(seed_g)
             seeds = np.asarray(
-                self.E[jnp.asarray(s_idx), jnp.asarray(j_idx)], dtype=np.float32
-            )
-        else:
-            seeds = np.zeros((1, self.dim), np.float32)
-        rng = np.random.default_rng(0)
-        init = seeds + rng.standard_normal(seeds.shape).astype(np.float32) * 1e-4
-        init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+                self.E[jnp.asarray(s_idx), jnp.asarray(j_idx)],
+                dtype=np.float32)
+            rng = np.random.default_rng(0)
+            init = seeds + rng.standard_normal(seeds.shape).astype(np.float32) * 1e-4
+            init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+            centroids, labels = kmeans_fit_sharded(
+                self.E, count, init, mesh, axis, iters=self.ivf_iters)
 
-        centroids, labels = kmeans_fit_sharded(
-            self.E, count, init, self.mesh, axis, iters=self.ivf_iters
-        )
+            axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
-        bucket_cap = max(
-            8,
-            _next_pow2(
-                int(np.ceil(IVFIndex.FILL_FACTOR * max(count, 1) / (S * C)))
-            ),
-        )
-        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+            def _sid():
+                sid = jax.lax.axis_index(axes[0])
+                for a in axes[1:]:
+                    sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+                return sid
 
-        def fill_body(lab_blk, count_g):
-            lab = lab_blk[0]
-            sid = jax.lax.axis_index(axes[0])
-            for a in axes[1:]:
-                sid = sid * self.mesh.shape[a] + jax.lax.axis_index(a)
-            count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
-            tbl, counts, order = bucket_fill_core(lab, count_s, C, bucket_cap)
-            return tbl[None], counts[None], order[None]
+            def oc_body(lab_blk, count_g):
+                count_s = jnp.maximum(0, (count_g - _sid() + S - 1) // S)
+                order, counts = order_counts_core(lab_blk[0], count_s, C)
+                return order[None], counts[None]
 
-        fn = jax.shard_map(
-            fill_body,
-            mesh=self.mesh,
-            in_specs=(P(axis, None), P()),
-            out_specs=(P(axis, None, None), P(axis, None), P(axis, None)),
-            check_vma=False,
-        )
-        tbl, counts, order = jax.jit(fn)(labels, jnp.int32(count))
+            order, counts = jax.jit(jax.shard_map(
+                oc_body, mesh=mesh, in_specs=(P(axis, None), P()),
+                out_specs=(P(axis, None), P(axis, None)), check_vma=False,
+            ))(labels, jnp.int32(count))
 
-        counts_h = np.asarray(counts)[:, :C].astype(np.int64)  # (S, C)
-        for s in range(S):
-            ch = counts_h[s]
-            over_c = np.flatnonzero(ch > bucket_cap)
-            if not len(over_c):
-                continue
-            starts = np.cumsum(ch) - ch
-            idx = np.concatenate(
-                [np.arange(starts[c] + bucket_cap, starts[c] + ch[c])
-                 for c in over_c]
-            )
-            ov_local = np.asarray(order[s][jnp.asarray(idx)]).astype(np.int64)
-            rows = self.E[s][jnp.asarray(ov_local)].astype(jnp.float32)
-            Pn = min(32, C)
-            _, top = jax.lax.top_k(
-                jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32),
-                Pn,
-            )
-            fill = np.minimum(ch, bucket_cap)
-            assign_c, assign_slot = _greedy_overflow_assign(
-                np.asarray(top).astype(np.int64), fill, bucket_cap
-            )
-            tbl = tbl.at[
-                s, jnp.asarray(assign_c), jnp.asarray(assign_slot)
-            ].set(jnp.asarray(ov_local, jnp.int32))
-        self._sivf = (centroids, tbl)
-        self._sivf_version += 1
+            counts_h = np.asarray(counts).astype(np.int64)  # (S, C)
+            nblk_h = (counts_h + SLAB - 1) // SLAB
+            CHUNK = 1024
+            nbp = max(int(nblk_h.sum(axis=1).max()), 1)
+            nbp = ((nbp + CHUNK - 1) // CHUNK) * CHUNK
+            blk_start_h = np.cumsum(nblk_h, axis=1) - nblk_h
+            row_start_h = np.cumsum(counts_h, axis=1) - counts_h
+            bcluster_h = np.full((S, nbp), C - 1, np.int32)
+            for s in range(S):
+                bc = np.repeat(np.arange(C, dtype=np.int32), nblk_h[s])
+                bcluster_h[s, : len(bc)] = bc
+
+            def shd(*spec):
+                return NamedSharding(mesh, P(*spec))
+
+            def zeros(shape, dtype, spec):
+                return jax.jit(lambda: jnp.zeros(shape, dtype),
+                               out_shardings=shd(*spec))()
+
+            d = self.dim
+            fjdt = jnp.int8 if int8 else jnp.bfloat16
+            E_c = zeros((S, nbp, SLAB, d), fjdt, (axis, None, None, None))
+            scales = zeros((S, nbp, SLAB) if int8 else (S, 1, 1),
+                           jnp.float32, (axis, None, None))
+            perm = jax.jit(lambda: jnp.full((S, nbp * SLAB), -1, jnp.int32),
+                           out_shardings=shd(axis, None))()
+            inv = jax.jit(
+                lambda: jnp.full((S, self.cap_s + 1), -1, jnp.int32),
+                out_shardings=shd(axis, None))()
+            to_dev = lambda a, spec: jax.device_put(
+                jnp.asarray(a, jnp.int32), shd(*spec))
+            bstart_d = to_dev(blk_start_h, (axis, None))
+            rstart_d = to_dev(row_start_h, (axis, None))
+            counts_d = to_dev(counts_h, (axis, None))
+            nblk_d = to_dev(nblk_h, (axis, None))
+            bclus_d = to_dev(bcluster_h, (axis, None))
+
+            def fill_body(Ec, sc, pm, iv, E_blk, od, cn, bs, rs, bc, lo):
+                out = _fill_chunk_core(
+                    Ec[0], sc[0], pm[0], iv[0], E_blk[0], od[0], cn[0],
+                    bs[0], rs[0], bc[0], lo, nb=CHUNK, int8=int8)
+                return tuple(x[None] for x in out)
+
+            sp3 = P(axis, None, None)
+            fill = jax.jit(jax.shard_map(
+                fill_body, mesh=mesh,
+                in_specs=(P(axis, None, None, None), sp3, P(axis, None),
+                          P(axis, None), sp3, P(axis, None), P(axis, None),
+                          P(axis, None), P(axis, None), P(axis, None), P()),
+                out_specs=(P(axis, None, None, None), sp3, P(axis, None),
+                           P(axis, None)),
+                check_vma=False,
+            ), donate_argnums=(0, 1, 2, 3))
+            for lo in range(0, nbp, CHUNK):
+                E_c, scales, perm, inv = fill(
+                    E_c, scales, perm, inv, self.E, order, counts_d,
+                    bstart_d, rstart_d, bclus_d, jnp.int32(lo))
+            self._ivf2 = _ShardedIVF2(
+                centroids=centroids, E_c=E_c,
+                scales=scales if int8 else None, perm=perm, inv_perm=inv,
+                blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
+                nblk_h=nblk_h, built=count, fine_dtype=fdt,
+                version=self.ivf_rebuilds)
+            self.ivf_rebuilds += 1
+            stale = [kk for kk in self._search_cache
+                     if isinstance(kk, tuple) and kk and kk[0] == "ivf2"]
+            for kk in stale:
+                del self._search_cache[kk]
+
+    def _ivf2_update_rows(self, s_idx, j_idx, mat) -> None:
+        """O(batch) fine-copy sync for set/delete of BUILT rows."""
+        iv = self._ivf2
+        if iv is None:
+            return
+        g = np.asarray(s_idx) + np.asarray(j_idx) * self.S
+        mask = g < iv.built
+        if not mask.any():
+            return
+        si = jnp.asarray(np.asarray(s_idx)[mask], jnp.int32)
+        ji = jnp.asarray(np.asarray(j_idx)[mask], jnp.int32)
+        vals = jnp.asarray(np.asarray(mat, np.float32)[mask])
+        iv.E_c, iv.scales = _ivf2_scatter(
+            iv.E_c, iv.scales if iv.scales is not None
+            else jnp.zeros((1, 1, 1), jnp.float32),
+            iv.inv_perm, si, ji, vals, iv.fine_dtype == "int8")
+        if iv.fine_dtype != "int8":
+            iv.scales = None
+        iv.stale_rows += int(mask.sum())
+
+    def _ivf2_search(self, qj, k: int):
+        """One jitted shard_map program: per-shard ivf2 core (fine
+        kernel + exact tail + master rescore) -> ICI merge."""
+        from modular_rag_system_tpu.ops.ivf2 import ivf2_search_core
+
+        iv = self._ivf2
+        S, axis, mesh = self.S, self.axis, self.mesh
+        nprobe = min(self.ivf_nprobe, iv.counts.shape[1])
+        U = 4
+        L = max(int(np.sort(iv.nblk_h, axis=1)[:, ::-1][:, :nprobe].sum(axis=1).max()), 1)
+        L = ((L + U - 1) // U) * U
+        tail = self.count - iv.built
+        tail_s = 0 if tail <= 0 else min(
+            max(8192, _next_pow2((tail + S - 1) // S)), self.cap_s)
+        Qp = qj.shape[0]
+        key = ("ivf2", Qp, k, nprobe, L, tail_s, self.cap_s, iv.version,
+               iv.fine_dtype)
+        fn = self._search_cache.get(key)
+        if fn is None:
+            interpret = _use_interpret()
+            axes = (axis,) if isinstance(axis, str) else tuple(axis)
+            hierarchical = isinstance(axis, tuple)
+
+            def body(E_blk, Ec, sc, pm, bs, nb, cn, cents, built_g,
+                     count_g, q):
+                sid = jax.lax.axis_index(axes[0])
+                for a in axes[1:]:
+                    sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+                built_s = jnp.maximum(0, (built_g - sid + S - 1) // S)
+                count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
+                vals, lrow = ivf2_search_core(
+                    E_blk[0], Ec[0], sc[0], pm[0], cents, bs[0], nb[0],
+                    cn[0], built_s, count_s, q, k=k, nprobe=nprobe, L=L,
+                    tail_max=tail_s, U=U, interpret=interpret)
+                gids = jnp.where(lrow >= 0, lrow * S + sid,
+                                 np.int32(2**31 - 1))
+                vals = jnp.where(lrow >= 0, vals, -jnp.inf)
+
+                def gather_merge(v, g, ax, km):
+                    av = jax.lax.all_gather(v, ax)
+                    ag = jax.lax.all_gather(g, ax)
+                    n_ax, Qp_, kk = av.shape
+                    cv = jnp.transpose(av, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                    cg = jnp.transpose(ag, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                    neg, gs = jax.lax.sort((-cv, cg), dimension=1, num_keys=2)
+                    return -neg[:, :km], gs[:, :km]
+
+                if hierarchical:
+                    dcn_ax, ici_ax = axis
+                    vals, gids = gather_merge(
+                        vals, gids, ici_ax,
+                        min(k, mesh.shape[ici_ax] * k))
+                    return gather_merge(vals, gids, dcn_ax, k)
+                return gather_merge(vals, gids, axis, k)
+
+            sp3 = P(axis, None, None)
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(sp3, P(axis, None, None, None), sp3,
+                          P(axis, None), P(axis, None), P(axis, None),
+                          P(axis, None), P(), P(), P(), P()),
+                out_specs=(P(), P()),
+                check_vma=False,
+            ))
+            self._search_cache[key] = fn
+        sc_in = (iv.scales if iv.scales is not None
+                 else jax.device_put(jnp.zeros((S, 1, 1), jnp.float32),
+                                     NamedSharding(mesh, P(axis, None, None))))
+        return fn(self.E, iv.E_c, sc_in, iv.perm, iv.blk_start, iv.nblk,
+                  iv.counts, iv.centroids, jnp.int32(iv.built),
+                  self.count_device(), qj)
 
     # ------------------------------------------------------------------
-    def _build_search(self, Qp: int, k: int):
-        """One jitted shard_map program: local top-k + all_gather merge."""
-        S, axis, tier = self.S, self.axis, self.tier
+    def _build_search(self, Qp: int, k: int, tier: Optional[str] = None):
+        """One jitted shard_map program: local top-k + all_gather merge.
+
+        ``tier`` overrides ``self.tier`` (used by the ivf tier's exact
+        fallback below the build threshold)."""
+        S, axis = self.S, self.axis
+        tier = tier or self.tier
         cap_s, block_rows = self.cap_s, min(self.block_rows, self.cap_s)
         bin_width = self.fused_bin_width
         interpret = _use_interpret()
 
         hierarchical = isinstance(axis, tuple)
-        if tier == "ivf":
-            self._build_sivf()
-            ivf_centroids = self._sivf[0]
-            ivf_nprobe = min(self.ivf_nprobe, ivf_centroids.shape[0])
 
         def _shard_id():
             if hierarchical:
@@ -364,18 +512,7 @@ class ShardedIndex:
             E_s = E_s[0]  # (cap_s, d)
             s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
-            if tier == "ivf":
-                from modular_rag_system_tpu.ops.ivf import ivf_topk
-
-                # scales_s carries this shard's (C, capb) bucket table of
-                # LOCAL row positions; centroids are replicated closure
-                # constants.  Dead rows never enter buckets (fill masks by
-                # count_s), so no extra count masking is needed here.
-                vals, loc = ivf_topk(
-                    E_s, ivf_centroids, scales_s[0], q, k, ivf_nprobe
-                )
-                vals = jnp.where(loc >= 0, vals, -jnp.inf)
-            elif tier == "exact":
+            if tier == "exact":
                 scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
                 col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
                 scores = jnp.where(col < count_s, scores, -jnp.inf)
@@ -449,9 +586,7 @@ class ShardedIndex:
 
         # tuple axis shards dim 0 over both mesh axes -> per-shard block
         # is (1, cap_s, d) in both the flat and hierarchical cases.
-        # For ivf the "scales" slot carries the (S, C, capb) bucket table.
-        scales_spec = P(axis, None, None) if tier == "ivf" else P(axis, None)
-        in_specs = (P(axis, None, None), scales_spec, P(), P())
+        in_specs = (P(axis, None, None), P(axis, None), P(), P())
         fn = jax.shard_map(
             local_and_merge,
             mesh=self.mesh,
@@ -476,10 +611,8 @@ class ShardedIndex:
         """(E_in, sc_in) for the current tier, refreshing lazy copies.
 
         Exposed so the engine's fused encode+search program can feed the
-        same shard_map search this class uses."""
-        if self.tier == "ivf":
-            self._build_sivf()
-            return self.E, self._sivf[1]
+        same shard_map search this class uses.  (The ivf tier's operand
+        set is richer — see ``_ivf2_search`` — and is not served here.)"""
         if self.tier == "int8":
             self._refresh_quant()
             return self._E_q, self._scales
@@ -505,18 +638,13 @@ class ShardedIndex:
         E_in = self._E_bf16 if self.tier == "bf16" else self.E
         return E_in, self._dummy_scales
 
-    def search_fn(self, Qp: int, k: int):
+    def search_fn(self, Qp: int, k: int, tier: Optional[str] = None):
         """Cached jitted shard_map search for padded query rows Qp."""
-        # ivf programs close over the build's centroids: key on the build
-        # version so a rebuild can't serve stale clusters
-        key = (Qp, k, self.tier, self.cap_s, self._sivf_version)
+        tier = tier or self.tier
+        key = (Qp, k, tier, self.cap_s)
         fn = self._search_cache.get(key)
         if fn is None:
-            if self.tier == "ivf":
-                stale = [kk for kk in self._search_cache if kk[4] != self._sivf_version]
-                for kk in stale:
-                    del self._search_cache[kk]
-            fn = self._build_search(Qp, k)
+            fn = self._build_search(Qp, k, tier=tier)
             self._search_cache[key] = fn
         return fn
 
@@ -624,23 +752,22 @@ class ShardedIndex:
         if Qp != Q:
             qj = jnp.pad(qj, ((0, Qp - Q), (0, 0)))
         with self._lock:
-            # the ivf build and k clamp must also run under the lock: a
-            # concurrent add() both donates the old E buffer (build reads
-            # it) and invalidates _sivf (an unlocked build could install
-            # a stale table AFTER the invalidation)
-            if self.tier == "ivf":
-                self._build_sivf()
-                # at most nprobe * bucket_cap candidates exist per shard
-                k_eff = min(
-                    k_eff,
-                    min(self.ivf_nprobe, self._sivf[0].shape[0])
-                    * self._sivf[1].shape[2],
-                )
-            E_in, sc_in = self.search_inputs()
-            fn = self.search_fn(Qp, k_eff)
-            # int8 raw expects scales as (1, cap_s) inside the shard --
-            # the P(axis, None) block IS (1, cap_s) after shard_map splits
-            vals, gids = fn(E_in, sc_in, self.count_device(), qj)
+            # snapshot + dispatch under the lock: a concurrent add()
+            # donates the old E buffer and mutates the ivf2 structure
+            if self.tier == "ivf" and self._ivf2 is not None and k_eff <= 64:
+                vals, gids = self._ivf2_search(qj, k_eff)
+            else:
+                # ivf below the build threshold (or at deep refill k,
+                # where the in-kernel running selection would not fit):
+                # exact fallback — recall 1.0, the clustered trade only
+                # pays at scale
+                tier_used = "exact" if self.tier == "ivf" else None
+                E_in, sc_in = self.search_inputs()
+                fn = self.search_fn(Qp, k_eff, tier=tier_used)
+                # int8 raw expects scales as (1, cap_s) inside the shard
+                # -- the P(axis, None) block IS (1, cap_s) after
+                # shard_map splits
+                vals, gids = fn(E_in, sc_in, self.count_device(), qj)
         vals = np.asarray(vals)[:Q]
         gids = np.asarray(gids)[:Q]
         gids = np.where(np.isfinite(vals), gids, -1)
@@ -704,7 +831,56 @@ class ShardedIndex:
         return b
 
 
+class _ShardedIVF2:
+    """Per-shard cluster-contiguous IVF structure (see ``ops/ivf2``).
+
+    All arrays are mesh-sharded on their leading S dimension; tables are
+    per shard over the SAME global C clusters.  ``built`` counts GLOBAL
+    rows; each shard's local built prefix is derived at trace time."""
+
+    def __init__(self, centroids, E_c, scales, perm, inv_perm, blk_start,
+                 nblk, counts, nblk_h, built: int, fine_dtype: str,
+                 version: int) -> None:
+        self.centroids = centroids
+        self.E_c = E_c              # (S, nbp, SLAB, d)
+        self.scales = scales        # (S, nbp, SLAB) f32 | None
+        self.perm = perm            # (S, nbp * SLAB) i32 local rows
+        self.inv_perm = inv_perm    # (S, cap_s + 1) i32 local row -> slot
+        self.blk_start = blk_start  # (S, C) i32
+        self.nblk = nblk            # (S, C) i32
+        self.counts = counts        # (S, C) i32
+        self.nblk_h = nblk_h        # host copy for L computation
+        self.built = int(built)
+        self.fine_dtype = fine_dtype
+        self.version = int(version)
+        self.stale_rows = 0
+
+
 from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("int8",))
+def _ivf2_scatter(E_c, scales, inv_perm, s_idx, j_idx, vals, int8: bool):
+    """O(batch) fine-copy scatter through the per-shard inverse perm."""
+    from modular_rag_system_tpu.ops.ivf2 import SLAB
+
+    slots = inv_perm[s_idx, j_idx]
+    ok = slots >= 0
+    b = jnp.where(ok, slots // SLAB, 0)
+    r = jnp.where(ok, slots % SLAB, 0)
+    if int8:
+        from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
+
+        qv, sc = quantize_rows_jit(vals)
+        old_q = E_c[s_idx, b, r]
+        old_s = scales[s_idx, b, r]
+        E_c = E_c.at[s_idx, b, r].set(jnp.where(ok[:, None], qv, old_q))
+        scales = scales.at[s_idx, b, r].set(jnp.where(ok, sc[:, 0], old_s))
+    else:
+        old = E_c[s_idx, b, r]
+        E_c = E_c.at[s_idx, b, r].set(
+            jnp.where(ok[:, None], vals.astype(E_c.dtype), old))
+    return E_c, scales
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -223,3 +223,47 @@ def test_kernel_rescan_matches_slab_gather(rng):
     np.testing.assert_array_equal(np.asarray(ik), np.asarray(is_))
     np.testing.assert_allclose(np.asarray(vk), np.asarray(vs),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_select_bins_group_path_matches_direct(rng):
+    """The two-level group-pruned bin selection (taken when nb/_GROUP >
+    kb+2) must reproduce direct lax.top_k's result including the
+    lowest-bin-id tie order."""
+    import jax
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.binmax_topk import _GROUP, select_bins
+
+    Qp, nb, kb = 8, 16 * _GROUP, 12
+    bm = rng.standard_normal((Qp, nb)).astype(np.float32)
+    # mass ties: quantize to a few levels so boundary ties are common
+    bm = np.round(bm * 2) / 2
+    got = np.asarray(select_bins(jnp.asarray(bm), kb))
+    # direct reference with id tie-break: sort by (-value, id)
+    for q in range(Qp):
+        order = np.lexsort((np.arange(nb), -bm[q]))[:kb]
+        np.testing.assert_array_equal(np.sort(got[q]), np.sort(order))
+
+
+def test_twopass_group_selection_end_to_end(rng):
+    """End-to-end twopass with a corpus large enough to take the group
+    bin-selection path (nb = 8192 at bin_width=8) on duplicated rows."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_raw
+    from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+
+    cap, d, k = 65536, 32, 10
+    base = rng.standard_normal((cap // 4, d)).astype(np.float32)
+    E = np.tile(base, (4, 1))  # exact duplicates -> score ties
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    vals, ids = twopass_topk_raw(
+        jnp.asarray(E, jnp.float32), jnp.int32(cap), jnp.asarray(q), k,
+        2048, 8, _use_interpret())
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    ref = q @ E.T
+    for i in range(4):
+        order = np.lexsort((np.arange(cap), -ref[i]))[:k]
+        np.testing.assert_array_equal(ids[i], order)
+        np.testing.assert_allclose(vals[i], ref[i][order], rtol=1e-5)

@@ -4,7 +4,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from modular_rag_system_tpu.index import DeviceIndex
-from modular_rag_system_tpu.ops.ivf import IVFIndex
 from modular_rag_system_tpu.ops.kmeans import init_centroids_from_rows, kmeans_fit
 
 
@@ -51,12 +50,37 @@ def test_kmeans_masks_dead_rows(rng):
     assert (labels[:100] >= 0).all()
 
 
-def test_ivf_full_probe_equals_exact(rng):
-    """nprobe == n_clusters must give exact results."""
+def _ivf2_search(ivf, E_master, q, k, nprobe):
+    """Direct IVF2 core search helper for tests."""
+    import functools
+
+    import jax
+
+    from modular_rag_system_tpu.ops.ivf2 import ivf2_search_core
+
+    U = 4
+    L = ivf.slots_for_nprobe(nprobe)
+    L = ((L + U - 1) // U) * U
+    sc3 = (ivf.scales3 if ivf.scales3 is not None
+           else jnp.zeros((1, 1), jnp.float32))
+    core = jax.jit(functools.partial(
+        ivf2_search_core, k=k, nprobe=nprobe, L=L, tail_max=0, U=U,
+        interpret=True))
+    cnt = jnp.int32(ivf.built)
+    return core(E_master, ivf.E_c3, sc3, ivf.perm, ivf.centroids,
+                ivf.blk_start, ivf.nblk, ivf.counts, cnt, cnt,
+                jnp.asarray(q))
+
+
+def test_ivf2_full_probe_equals_exact(rng):
+    """nprobe == n_clusters must give exact results (master-rescored)."""
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
+
     E = normalized(rng, 1000, 64)
     q = normalized(rng, 5, 64)
-    ivf = IVFIndex.build(jnp.asarray(E), 1000, n_clusters=8, iters=5)
-    vals, rows = ivf.search(jnp.asarray(q), 10, nprobe=8)
+    Ej = jnp.asarray(E)
+    ivf = IVF2.build(Ej, 1000, n_clusters=8, iters=5, fine_dtype="bf16")
+    vals, rows = _ivf2_search(ivf, Ej, q, 10, 8)
     scores = q @ E.T
     ref_rows = np.argsort(-scores, axis=1)[:, :10]
     ref_vals = np.take_along_axis(scores, ref_rows, axis=1)
@@ -66,19 +90,21 @@ def test_ivf_full_probe_equals_exact(rng):
         assert set(np.asarray(rows)[i]) == set(ref_rows[i])
 
 
-def test_ivf_recall_reasonable_at_low_nprobe(rng):
+def test_ivf2_recall_grows_with_nprobe(rng):
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
+
     E, _ = clustered_corpus(rng, n_clusters=32, per=100, d=64)
     n = E.shape[0]
     q = normalized(rng, 20, 64)
-    ivf = IVFIndex.build(jnp.asarray(E), n, n_clusters=32, iters=8)
+    Ej = jnp.asarray(E)
+    ivf = IVF2.build(Ej, n, n_clusters=32, iters=8, fine_dtype="bf16")
     scores = q @ E.T
     ref = np.argsort(-scores, axis=1)[:, :10]
-    _, got = ivf.search(jnp.asarray(q), 10, nprobe=4)
+    _, got = _ivf2_search(ivf, Ej, q, 10, 4)
     got = np.asarray(got)
     recall = np.mean([len(set(ref[i]) & set(got[i])) / 10 for i in range(20)])
-    assert recall >= 0.6, f"ivf recall@10 nprobe=4: {recall}"
-    # recall grows with nprobe
-    _, got16 = ivf.search(jnp.asarray(q), 10, nprobe=16)
+    assert recall >= 0.6, f"ivf2 recall@10 nprobe=4: {recall}"
+    _, got16 = _ivf2_search(ivf, Ej, q, 10, 16)
     got16 = np.asarray(got16)
     recall16 = np.mean([len(set(ref[i]) & set(got16[i])) / 10 for i in range(20)])
     assert recall16 >= recall
@@ -86,45 +112,91 @@ def test_ivf_recall_reasonable_at_low_nprobe(rng):
 
 def test_ivf_device_index_tier(rng):
     E = normalized(rng, 2000, 64)
-    idx = DeviceIndex(dim=64, tier="ivf", ivf_clusters=16, ivf_nprobe=16)
+    idx = DeviceIndex(dim=64, tier="ivf", ivf_clusters=16, ivf_nprobe=16,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16")
     idx.add(E)
+    assert idx._ivf2 is not None  # built from the write path
     q = normalized(rng, 3, 64)
     scores, rows = idx.search(q, 5)
     assert rows.shape == (3, 5)
     assert (rows >= 0).all() and (rows < 2000).all()
-    # full nprobe -> matches exact tier
+    # full nprobe -> matches exact tier (refine stage rescores against
+    # the master, so scores are master-exact too)
     exact = DeviceIndex(dim=64, tier="exact")
     exact.add(E)
-    _, ref_rows = exact.search(q, 5)
+    ref_scores, ref_rows = exact.search(q, 5)
     for i in range(3):
         assert set(rows[i]) == set(ref_rows[i])
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-5, atol=1e-5)
 
 
-def test_ivf_rebuild_after_append(rng):
-    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8)
-    idx.add(normalized(rng, 500, 32))
-    q = normalized(rng, 1, 32)
-    idx.search(q, 5)
-    assert idx._ivf is not None
-    idx.add(normalized(rng, 100, 32))
-    assert idx._ivf is None  # invalidated
+def test_ivf_below_threshold_is_exact(rng):
+    """Small corpora never build: the ivf tier serves the exact stream."""
+    E = normalized(rng, 500, 32)
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8)
+    idx.add(E)
+    assert idx._ivf2 is None and idx.ivf_rebuilds == 0
+    q = normalized(rng, 2, 32)
     _, rows = idx.search(q, 5)
-    assert (rows < 600).all()
+    exact = DeviceIndex(dim=32, tier="exact")
+    exact.add(E)
+    _, ref = exact.search(q, 5)
+    np.testing.assert_array_equal(rows, ref)
 
 
-def test_ivf_bucket_padding(rng):
-    E = normalized(rng, 100, 32)
-    ivf = IVFIndex.build(jnp.asarray(E), 100, n_clusters=4, iters=4)
-    b = np.asarray(ivf.bucket_ids)
-    # all live rows appear exactly once; padding is -1
-    members = b[b >= 0]
-    assert sorted(members.tolist()) == list(range(100))
+def test_ivf_incremental_append_serves_tail_exactly(rng):
+    """VERDICT r2 item 2: a write must NOT invalidate the build — fresh
+    rows are served from the exact tail until a threshold rebuild."""
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=256, ivf_fine_dtype="bf16")
+    idx.add(normalized(rng, 500, 32))
+    assert idx.ivf_rebuilds == 1
+    built_obj = idx._ivf2
+    # many small appends below the threshold: O(batch) work, no rebuild
+    fresh = normalized(rng, 40, 32)
+    for i in range(4):
+        idx.add(fresh[i * 10 : (i + 1) * 10])
+    assert idx._ivf2 is built_obj and idx.ivf_rebuilds == 1
+    assert idx._ivf2.built == 500  # tail = [500, 540)
+    # a tail row is retrieved exactly (self-retrieval at rank 1)
+    q = fresh[:3]
+    scores, rows = idx.search(q, 3)
+    for i in range(3):
+        assert rows[i, 0] == 500 + i
+        assert scores[i, 0] > 0.99
+    # crossing the threshold triggers a rebuild from the write path
+    idx.add(normalized(rng, 300, 32))
+    assert idx.ivf_rebuilds == 2
+    assert idx._ivf2.built == idx.count
 
 
-def test_ivf_bucket_cap_bounds_skew(rng):
-    """Adversarial skew: most rows near one center. The padded table must
-    stay bounded and every row must appear exactly once."""
+def test_ivf_delete_and_resurrect_sync_fine_copy(rng):
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=128, ivf_fine_dtype="bf16")
+    E = normalized(rng, 400, 32)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    q = E[:2]
+    _, rows = idx.search(q, 1)
+    assert rows[0, 0] == 0 and rows[1, 0] == 1
+    # delete row 0: its fine-copy slot must be zeroed (O(batch) scatter)
+    idx.delete_rows(np.asarray([0]))
+    scores, rows = idx.search(q[:1], 1)
+    assert rows[0, 0] != 0 or scores[0, 0] < 0.5
+    # resurrect with new content
+    idx.set_rows(np.asarray([0]), q[:1])
+    _, rows = idx.search(q[:1], 1)
+    assert rows[0, 0] == 0
+    assert idx._ivf2.stale_rows >= 2
+
+
+def test_ivf2_perm_covers_every_row_once(rng):
+    """Skewed data: the contiguous layout stores every row exactly once
+    in its TRUE cluster (no overflow displacement — the r2 recall
+    ceiling is structurally gone)."""
     import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
 
     d = 32
     hot = normalized(rng, 1, d)
@@ -134,15 +206,19 @@ def test_ivf_bucket_cap_bounds_skew(rng):
         (rest[rng.integers(0, 8, 100)] + 0.01 * rng.standard_normal((100, d))).astype(np.float32),
     ])
     E /= np.linalg.norm(E, axis=1, keepdims=True)
-    ivf = IVFIndex.build(jnp.asarray(E), 1000, n_clusters=16, iters=6)
-    b = np.asarray(ivf.bucket_ids)
-    # cap = pow2(ceil(4 * 1000 / 16)) = 256, NOT the 900-row hot cluster
-    assert ivf.bucket_cap <= 256
-    members = b[b >= 0]
-    assert sorted(members.tolist()) == list(range(1000))
-    # displaced rows are still findable with a broad probe
-    q = jnp.asarray(E[:5])
-    _, got = ivf.search(q, 5, nprobe=16)
-    got = np.asarray(got)
+    ivf = IVF2.build(jnp.asarray(E), 1000, n_clusters=16, iters=6,
+                     fine_dtype="bf16")
+    perm = np.asarray(ivf.perm)
+    live = perm[perm >= 0]
+    assert sorted(live.tolist()) == list(range(1000))
+    inv = np.asarray(ivf.inv_perm)
+    assert (perm[inv[:1000]] == np.arange(1000)).all()
+    # hot-cluster rows keep their true assignment: self-retrieval exact
+    idx = DeviceIndex(dim=d, tier="ivf", ivf_clusters=16, ivf_nprobe=16,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16")
+    idx.add(E)
+    _, got = idx.search(E[:5], 5)
     for i in range(5):
-        assert i in got[i]  # self-retrieval survives rebalancing
+        assert i in got[i]
+
+

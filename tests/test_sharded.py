@@ -299,12 +299,8 @@ def test_sharded_derived_tiers_update_incrementally(rng, mesh8):
 
 
 def test_sharded_ivf_recall_parity(rng, mesh8):
-    """Sharded IVF (SPMD k-means + per-shard buckets + ICI merge) matches
-    single-device IVF recall on the same corpus (VERDICT r1 item 3)."""
-    import jax.numpy as jnp
-
-    from modular_rag_system_tpu.ops.ivf import IVFIndex
-
+    """Sharded IVF2 (SPMD k-means + per-shard cluster-contiguous slabs +
+    ICI merge) tracks single-device IVF2 recall on the same corpus."""
     # clustered corpus so IVF has real structure
     d, n_hubs = 64, 16
     hubs = normalized(rng, n_hubs, d)
@@ -316,39 +312,60 @@ def test_sharded_ivf_recall_parity(rng, mesh8):
     exact.add(E)
     _, ref = exact.search(q, 10)
 
-    single = IVFIndex.build(jnp.asarray(E), 4096, n_clusters=32, iters=8, nprobe=8)
-    _, got_single = single.search(jnp.asarray(q), 10)
+    single = DeviceIndex(dim=d, tier="ivf", ivf_clusters=32, ivf_nprobe=8,
+                         ivf_iters=8, ivf_rebuild_min=64,
+                         ivf_fine_dtype="bf16")
+    single.add(E)
+    assert single._ivf2 is not None
+    _, got_single = single.search(q, 10)
     recall_single = np.mean(
-        [len(set(ref[i]) & set(np.asarray(got_single)[i])) / 10 for i in range(16)]
+        [len(set(ref[i]) & set(got_single[i])) / 10 for i in range(16)]
     )
 
     sharded = ShardedIndex(dim=d, mesh=mesh8, tier="ivf", block_rows=64,
-                           ivf_clusters=32, ivf_nprobe=8, ivf_iters=8)
+                           ivf_clusters=32, ivf_nprobe=8, ivf_iters=8,
+                           ivf_rebuild_min=64, ivf_fine_dtype="bf16")
     sharded.add(E)
+    assert sharded._ivf2 is not None
     _, got_sharded = sharded.search(q, 10)
     recall_sharded = np.mean(
         [len(set(ref[i]) & set(got_sharded[i])) / 10 for i in range(16)]
     )
     assert recall_sharded >= 0.8, (recall_sharded, recall_single)
     assert recall_sharded >= recall_single - 0.1, (recall_sharded, recall_single)
-    # every live row is bucketed exactly once across all shards
-    tbl = np.asarray(sharded._sivf[1])  # (S, C, capb) local positions
-    total = sum(int((tbl[s] >= 0).sum()) for s in range(8))
-    assert total == 4096
+    # every live row is laid out exactly once across all shards
+    perm = np.asarray(sharded._ivf2.perm)  # (S, nbp * SLAB) local rows
+    gids = sorted(
+        int(perm[s, i]) * 8 + s
+        for s in range(8) for i in np.flatnonzero(perm[s] >= 0)
+    )
+    assert gids == list(range(4096))
 
 
-def test_sharded_ivf_rebuild_after_write(rng, mesh8):
-    E = normalized(rng, 1024, 32)
+def test_sharded_ivf_incremental_write_serves_tail(rng, mesh8):
+    """VERDICT r2 item 2 (sharded): writes do not invalidate the build;
+    fresh rows are served from each shard's exact tail until a
+    threshold rebuild from the write path."""
+    E = normalized(rng, 1400, 32)
     idx = ShardedIndex(dim=32, mesh=mesh8, tier="ivf", block_rows=64,
-                       ivf_clusters=8, ivf_nprobe=8, ivf_iters=4)
+                       ivf_clusters=8, ivf_nprobe=8, ivf_iters=4,
+                       ivf_rebuild_min=256, ivf_fine_dtype="bf16")
     idx.add(E[:1000])
+    assert idx.ivf_rebuilds == 1 and idx._ivf2.built == 1000
     _, r1 = idx.search(E[:2], 5)
     assert (r1[:, 0] == np.array([0, 1])).all()
-    v1 = idx._sivf_version
-    idx.add(E[1000:])  # invalidates the ivf build
+    built_obj = idx._ivf2
+    idx.add(E[1000:1100])  # below threshold: tail, no rebuild
+    assert idx._ivf2 is built_obj and idx.ivf_rebuilds == 1
     _, r2 = idx.search(E[1020:1022], 5)
     assert (r2[:, 0] == np.array([1020, 1021])).all()
-    assert idx._sivf_version > v1
+    # deletes sync the fine copy in O(batch)
+    idx.delete_rows(np.asarray([0]))
+    sc, r3 = idx.search(E[:1], 5)
+    assert r3[0, 0] != 0 or sc[0, 0] < 0.5
+    # crossing the threshold rebuilds from the write path
+    idx.add(E[1100:])
+    assert idx.ivf_rebuilds == 2 and idx._ivf2.built == idx.count
 
 
 def test_sharded_ivf_hierarchical_mesh(rng):
@@ -357,8 +374,10 @@ def test_sharded_ivf_hierarchical_mesh(rng):
     mesh2d = make_hierarchical_index_mesh(2, 4, devices=cpu_mesh_devices(8))
     E = normalized(rng, 2048, 32)
     idx = ShardedIndex(dim=32, mesh=mesh2d, tier="ivf", block_rows=64,
-                       ivf_clusters=16, ivf_nprobe=16, ivf_iters=4)
+                       ivf_clusters=16, ivf_nprobe=16, ivf_iters=4,
+                       ivf_rebuild_min=64, ivf_fine_dtype="bf16")
     idx.add(E)
+    assert idx._ivf2 is not None
     _, got = idx.search(E[:4], 5)
     assert (got[:, 0] == np.arange(4)).all()
 
