@@ -47,6 +47,10 @@ class EmbeddingConfig:
     # ``models.hf_loader`` instead of random init; when empty, the loader
     # still probes the offline HF cache for all-MiniLM-L6-v2.
     hf_checkpoint: str = ""
+    # Bundled default checkpoint (models/default_ckpt.py): "auto" = use
+    # the packaged asset when no HF cache exists; "" = disable (random
+    # init); a path = load that asset directory instead.
+    bundled_checkpoint: str = "auto"
 
 
 @dataclass

@@ -338,24 +338,15 @@ class RAGEngine:
 
     # ------------------------------------------------------------------
     # fused device query: tokenize on host, then ONE jitted program does
-    # encoder forward + top-k search (only for the flax encoder + plain
-    # DeviceIndex exact/fused/bf16 tiers; other combinations take the
-    # two-step path)
+    # encoder forward + top-k search.  EVERY tier of both index kinds —
+    # including ivf (VERDICT r2 item 8) — rides the shared search
+    # protocol (index.search_ops / search_core / search_token).
     def _device_query(self, texts, k: int):
-        from modular_rag_system_tpu.index import DeviceIndex
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
         from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
         sharded = isinstance(self.index, ShardedIndex)
         if not isinstance(self.encoder, MiniLMEncoder):
-            return None
-        if sharded:
-            if self.index.tier not in ("exact", "fused", "bf16", "int8"):
-                return None
-        elif not (
-            isinstance(self.index, DeviceIndex)
-            and self.index.tier in ("exact", "fused", "bf16", "int8")
-        ):
             return None
         import jax
         import jax.numpy as jnp
@@ -371,120 +362,60 @@ class RAGEngine:
         if Qp != Q:
             ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
             mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
-        tier = self.index.tier
         # params are CLOSED OVER (device constants), not passed per call:
         # marshalling ~100 parameter buffers through the device relay per
         # query dominated single-query latency. sync_encoder()-style param
         # swaps must invalidate via the id() check below.
         params = self.encoder.params
-        # fused_bin_width is baked into the compiled program (it selects
-        # two-pass vs legacy binned mode at trace time), so it must key
-        # the cache: changing it on a live engine must not serve the
-        # stale kernel path (ADVICE r2).
-        key = (Qp, k, tier, self.index.capacity, sharded, id(params),
-               self.index.fused_bin_width)
-        fn = self._fused_query_cache.get(key)
-        if fn is None:
-            # evict programs compiled against superseded params: their
-            # closures pin a full model copy each, and their id-keyed
-            # entries can never be hit again after sync_encoder()
-            stale = [kk for kk in self._fused_query_cache if kk[5] != id(params)]
-            for kk in stale:
-                del self._fused_query_cache[kk]
-            module = self.encoder.module
-            if sharded:
-                inner = self.index.search_fn(Qp, k)
-
-                def program(E, scales, count, ids, mask):
-                    q = module.apply({"params": params}, ids, mask)
-                    return inner(E, scales, count, q)
-
-            else:
-                block_rows = min(self.index.block_rows, self.index.capacity)
-
-                def program(E, scales, count, ids, mask):
-                    q = module.apply({"params": params}, ids, mask)
-                    if tier == "exact":
-                        from modular_rag_system_tpu.ops.exact import exact_topk_raw
-
-                        return exact_topk_raw(E, count, q, k)
-                    from modular_rag_system_tpu.ops.binmax_topk import (
-                        _MIN_TWOPASS_CAP,
-                        auto_bin_width,
-                        twopass_topk_int8_raw,
-                        twopass_topk_raw,
-                    )
-                    from modular_rag_system_tpu.ops.fused_topk import (
-                        _max_block_rows,
-                        _use_interpret,
-                        fused_topk_int8_raw,
-                        fused_topk_raw,
-                    )
-
-                    cap = E.shape[0]
-                    bw = auto_bin_width(cap)
-                    if (self.index.fused_bin_width is None
-                            and cap >= _MIN_TWOPASS_CAP and cap // bw >= k + 1):
-                        br = min(max(block_rows, 4096), cap,
-                                 _max_block_rows(E.shape[1], jnp.bfloat16
-                                                 if tier == "int8" else E.dtype))
-                        if tier == "int8":
-                            return twopass_topk_int8_raw(
-                                E, scales.reshape(-1), count, q, k, br, bw,
-                                _use_interpret(),
-                            )
-                        return twopass_topk_raw(
-                            E, count, q, k, br, bw, _use_interpret(),
-                        )
-                    qp = q
-                    pad_mult = 16 if tier == "int8" else 8
-                    if qp.shape[0] % pad_mult:
-                        qp = jnp.pad(
-                            qp, ((0, pad_mult - qp.shape[0] % pad_mult), (0, 0))
-                        )
-                    if tier == "int8":
-                        vals, rid = fused_topk_int8_raw(
-                            E, scales.reshape(1, cap), count, qp, k,
-                            block_rows, _use_interpret(),
-                            bin_width=self.index.fused_bin_width,
-                        )
-                    else:
-                        vals, rid = fused_topk_raw(
-                            E, count, qp, k, block_rows, _use_interpret(),
-                            bin_width=self.index.fused_bin_width,
-                        )
-                    return vals[: q.shape[0]], rid[: q.shape[0]]
-
-            def packed(E, scales, count, ids, mask):
-                vals, rid = program(E, scales, count, ids, mask)
-                # pack (scores, rows) into ONE output: every device->host
-                # fetch is a full relay round trip, so two fetches double
-                # single-query latency.  Pack in INT32 space — bitcasting
-                # row ids to f32 makes denormals, which the TPU flushes
-                # to zero (ids silently became 0 at scale; CPU tests
-                # passed because CPU preserves denormals).
-                return jnp.concatenate(
-                    [jax.lax.bitcast_convert_type(vals, jnp.int32), rid],
-                    axis=1,
-                )
-
-            fn = jax.jit(packed)
-            self._fused_query_cache[key] = fn
-        # Snapshot (E, scales, count) AND dispatch under the index lock:
-        # a concurrent add both mutates count and DONATES the old E buffer
-        # (``ops.exact.append_rows``), so an unlocked reader can pass an
-        # already-deleted array handle into the program.  Dispatch is
-        # async — in-flight executions pin their input buffers — so only
-        # the result fetch happens outside the lock.
+        # Snapshot ops AND dispatch under the index lock: a concurrent
+        # add both mutates count and DONATES the old E buffer, so an
+        # unlocked reader can pass an already-deleted array handle into
+        # the program.  Dispatch is async — in-flight executions pin
+        # their input buffers — so only the result fetch happens outside
+        # the lock.  search_token() keys everything the compiled program
+        # bakes in (tier, capacity, fused_bin_width, ivf build version /
+        # tail window, ...) — ADVICE r2.
         with self.index._lock:
-            # both index kinds expose search_inputs(): the tier-correct
-            # (matrix, scales) pair with lazy derived copies refreshed
-            E_in, sc_in = self.index.search_inputs()
-            if sc_in is None:
-                sc_in = jnp.zeros((1, 1), jnp.float32)
+            token = (self.index.search_token(k) if sharded
+                     else self.index.search_token())
+            key = (Qp, k, sharded, id(params)) + token
+            fn = self._fused_query_cache.get(key)
+            if fn is None:
+                # evict programs compiled against superseded params:
+                # their closures pin a full model copy each, and their
+                # id-keyed entries can never be hit again after
+                # sync_encoder()
+                stale = [kk for kk in self._fused_query_cache
+                         if kk[3] != id(params)]
+                for kk in stale:
+                    del self._fused_query_cache[kk]
+                module = self.encoder.module
+                inner = (self.index.search_core(Qp, k) if sharded
+                         else self.index.search_core(k))
+
+                def packed(ops, count, ids, mask):
+                    q = module.apply({"params": params}, ids, mask)
+                    vals, rid = inner(ops, count, q)
+                    # pack (scores, rows) into ONE output: every
+                    # device->host fetch is a full relay round trip, so
+                    # two fetches double single-query latency.  Pack in
+                    # INT32 space — bitcasting row ids to f32 makes
+                    # denormals, which the TPU flushes to zero (ids
+                    # silently became 0 at scale; CPU tests passed
+                    # because CPU preserves denormals).
+                    return jnp.concatenate(
+                        [jax.lax.bitcast_convert_type(vals, jnp.int32), rid],
+                        axis=1,
+                    )
+
+                fn = jax.jit(packed)
+                self._fused_query_cache[key] = fn
+            if sharded:
+                ops = self.index.search_ops(self.index._effective_tier(k))
+            else:
+                ops = self.index.search_ops()
             out_dev = fn(
-                E_in,
-                sc_in,
+                ops,
                 self.index.count_device(),
                 jnp.asarray(ids),
                 jnp.asarray(mask),

@@ -98,7 +98,8 @@ class DeviceIndex:
         self.ivf_rebuild_min = ivf_rebuild_min
         self.ivf_rebuilds = 0
         self._ivf2 = None
-        self._ivf2_cache: dict = {}
+        # compiled search programs, keyed by (Q, k) + search_token()
+        self._core_cache: dict = {}
 
     # ------------------------------------------------------------------
     def add(self, mat: np.ndarray) -> Tuple[int, int]:
@@ -229,6 +230,115 @@ class DeviceIndex:
             self.derived_incremental_rows += len(rows)
 
     # ------------------------------------------------------------------
+    # Search protocol (shared by DeviceIndex.search AND the engine's
+    # fused encode+search program; VERDICT r2 item 8):
+    #   search_ops()    tier-correct operand arrays (hold _lock),
+    #   search_core(k)  traceable fn(ops, count, q) -> (vals, rows),
+    #   search_token()  hashable part that must key any program cache.
+    def search_ops(self) -> Tuple:
+        if self.tier == "int8":
+            if self._E_q is None:
+                from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+                self._E_q, self._scales = quantize_rows(self.E)
+                self.derived_rebuilds += 1
+            # master E rides along for the post-kernel refine rescore
+            return (self._E_q, self._scales, self.E)
+        if self.tier == "bf16" and self.store_dtype != "bfloat16":
+            if self._E_bf16 is None:
+                self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
+                self.derived_rebuilds += 1
+            return (self._E_bf16,)
+        if self.tier == "ivf" and self._ivf2 is not None:
+            iv = self._ivf2
+            sc3 = (iv.scales3 if iv.scales3 is not None
+                   else jnp.zeros((1, 1), jnp.float32))
+            return (self.E, iv.E_c3, sc3, iv.perm, iv.centroids,
+                    iv.blk_start, iv.nblk, iv.counts, jnp.int32(iv.built))
+        return (self.E,)
+
+    def _ivf_tail_max(self) -> int:
+        tail = self.count - self._ivf2.built
+        return 0 if tail <= 0 else min(
+            max(8192, _next_pow2(tail)), self.capacity)
+
+    def search_token(self) -> Tuple:
+        t = (self.tier, self.capacity, self.fused_bin_width,
+             self.store_dtype, self.block_rows)
+        if self.tier == "ivf" and self._ivf2 is not None:
+            iv = self._ivf2
+            t += ("ivf2", iv.version, iv.fine_dtype, self._ivf_tail_max(),
+                  self.ivf_nprobe)
+        return t
+
+    def search_core(self, k: int):
+        """Traceable fn(ops, count, q) for the CURRENT tier/state."""
+        tier = self.tier
+        if tier == "ivf" and (self._ivf2 is None or k > 64):
+            # below the build threshold — or at deep-refill k, where the
+            # fine kernel's unrolled running selection would not fit —
+            # the ivf tier serves the exact stream (recall 1.0)
+            tier = "fused"
+        if tier == "exact":
+            def core(ops, count, q):
+                from modular_rag_system_tpu.ops.exact import exact_topk_raw
+
+                return exact_topk_raw(ops[0], count, q, k)
+
+            return core
+        if tier in ("fused", "bf16"):
+            block_rows, bin_width = self.block_rows, self.fused_bin_width
+
+            def core(ops, count, q):
+                return stream_search_core(ops[0], count, q, k, block_rows,
+                                          bin_width)
+
+            return core
+        if tier == "int8":
+            block_rows, bin_width = self.block_rows, self.fused_bin_width
+            count_now = self.count
+
+            def core(ops, count, q):
+                from modular_rag_system_tpu.ops.binmax_topk import (
+                    int8_refine_kf,
+                    refine_against_master,
+                )
+
+                E_q, scales, E_master = ops
+                kf = int8_refine_kf(k, count_now)
+                vals, rows = stream_search_core(
+                    E_q, count, q, kf, block_rows, bin_width,
+                    scales=scales)
+                if kf > k:
+                    vals, rows = refine_against_master(E_master, q, rows, k)
+                return vals, rows
+
+            return core
+        if tier == "ivf":
+            import functools
+
+            from modular_rag_system_tpu.ops import ivf2 as ivf2_ops
+            from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+
+            iv = self._ivf2
+            nprobe = min(self.ivf_nprobe, iv.n_clusters)
+            U = 4
+            L = iv.slots_for_nprobe(nprobe)
+            L = ((L + U - 1) // U) * U
+            tail_max = self._ivf_tail_max()
+            inner = functools.partial(
+                ivf2_ops.ivf2_search_core, k=k, nprobe=nprobe, L=L,
+                tail_max=tail_max, U=U, interpret=_use_interpret())
+
+            def core(ops, count, q):
+                E, E_c3, sc3, perm, cents, bs, nb, cn, built = ops
+                return inner(E, E_c3, sc3, perm, cents, bs, nb, cn,
+                             built, count, q)
+
+            return core
+        raise ValueError(f"unknown index tier {self.tier!r}")
+
+    # ------------------------------------------------------------------
     def search(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k rows for (Q, d) queries. Returns (scores, rows) as numpy."""
         if self.count == 0:
@@ -240,18 +350,14 @@ class DeviceIndex:
         k_eff = min(k, self.count)
         qj = jnp.asarray(q, dtype=jnp.float32)
         with self._lock:
-            if self.tier == "exact":
-                scores, rows = exact_ops.exact_topk(self.E, self.count_device(), qj, k_eff)
-            elif self.tier == "int8":
-                scores, rows = self._search_int8(qj, k_eff)
-            elif self.tier == "fused":
-                scores, rows = self._search_fused(qj, k_eff)
-            elif self.tier == "bf16":
-                scores, rows = self._search_bf16(qj, k_eff)
-            elif self.tier == "ivf":
-                scores, rows = self._search_ivf(qj, k_eff)
-            else:
-                raise ValueError(f"unknown index tier {self.tier!r}")
+            key = (qj.shape[0], k_eff) + self.search_token()
+            fn = self._core_cache.get(key)
+            if fn is None:
+                if len(self._core_cache) > 64:
+                    self._core_cache.clear()
+                fn = jax.jit(self.search_core(k_eff))
+                self._core_cache[key] = fn
+            scores, rows = fn(self.search_ops(), self.count_device(), qj)
         scores = np.asarray(scores)
         rows = np.asarray(rows)
         if k_eff < k:  # pad to requested k
@@ -260,66 +366,6 @@ class DeviceIndex:
             scores = np.concatenate([scores, pad_s], axis=1)
             rows = np.concatenate([rows, pad_r], axis=1)
         return scores, rows
-
-    def search_inputs(self):
-        """(E_in, scales_or_None) for the current tier, refreshing lazy
-        derived copies under the caller's responsibility to hold
-        ``self._lock`` (mirrors ``ShardedIndex.search_inputs`` so the
-        engine's fused program feeds one shared path)."""
-        if self.tier == "int8":
-            if self._E_q is None:
-                from modular_rag_system_tpu.ops.quantize import quantize_rows
-
-                self._E_q, self._scales = quantize_rows(self.E)
-                self.derived_rebuilds += 1
-            return self._E_q, self._scales
-        if self.tier == "bf16" and self.store_dtype != "bfloat16":
-            if self._E_bf16 is None:
-                self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
-                self.derived_rebuilds += 1
-            return self._E_bf16, None
-        return self.E, None
-
-    # --- non-exact tiers are wired in by later modules ----------------
-    def _search_stream(self, E, qj, k):
-        """Exact streaming search over ``E``: the two-pass binmax kernel
-        (2.1x the single-pass kernel's throughput) unless the caller
-        configured ``fused_bin_width`` — that selects the legacy
-        approximate single-pass binned mode."""
-        if self.fused_bin_width is None:
-            from modular_rag_system_tpu.ops.binmax_topk import twopass_topk
-
-            return twopass_topk(E, self.count_device(), qj, k,
-                                block_rows=max(self.block_rows, 4096))
-        from modular_rag_system_tpu.ops.fused_topk import fused_topk
-
-        return fused_topk(E, self.count_device(), qj, k,
-                          block_rows=self.block_rows,
-                          bin_width=self.fused_bin_width)
-
-    def _search_fused(self, qj, k):
-        return self._search_stream(self.E, qj, k)
-
-    def _search_bf16(self, qj, k):
-        """bf16 index tier: half the HBM traffic of f32 at recall ~= 1."""
-        E_in, _ = self.search_inputs()
-        return self._search_stream(E_in, qj, k)
-
-    def _search_int8(self, qj, k):
-        from modular_rag_system_tpu.ops.fused_topk import fused_topk_int8
-
-        self.search_inputs()
-        if self.fused_bin_width is None:
-            from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
-
-            return twopass_topk_int8(
-                self._E_q, self._scales, self.count_device(), qj, k,
-                block_rows=max(self.block_rows, 4096),
-            )
-        return fused_topk_int8(
-            self._E_q, self._scales, self.count_device(), qj, k,
-            block_rows=self.block_rows, bin_width=self.fused_bin_width,
-        )
 
     # ------------------------------------------------------------------
     # ivf tier (ops/ivf2): cluster-contiguous fine stage + exact tail
@@ -356,42 +402,7 @@ class DeviceIndex:
                 fine_dtype=fdt,
             )
             self._ivf2.version = self.ivf_rebuilds
-            self._ivf2_cache.clear()
             self.ivf_rebuilds += 1
-
-    def _search_ivf(self, qj, k):
-        import functools
-
-        from modular_rag_system_tpu.ops import ivf2 as ivf2_ops
-        from modular_rag_system_tpu.ops.fused_topk import _use_interpret
-
-        iv = self._ivf2
-        if iv is None:
-            # below the build threshold the ivf tier IS the exact stream
-            # (recall 1.0; the clustered trade only pays at scale)
-            return self._search_stream(self.E, qj, k)
-        nprobe = min(self.ivf_nprobe, iv.n_clusters)
-        U = 4
-        L = iv.slots_for_nprobe(nprobe)
-        L = ((L + U - 1) // U) * U
-        tail = self.count - iv.built
-        tail_max = 0 if tail <= 0 else min(
-            max(8192, _next_pow2(tail)), self.capacity
-        )
-        key = (qj.shape[0], k, nprobe, L, tail_max, self.capacity,
-               iv.version, iv.fine_dtype)
-        fn = self._ivf2_cache.get(key)
-        if fn is None:
-            fn = jax.jit(functools.partial(
-                ivf2_ops.ivf2_search_core, k=k, nprobe=nprobe, L=L,
-                tail_max=tail_max, U=U, interpret=_use_interpret(),
-            ))
-            self._ivf2_cache[key] = fn
-        sc3 = (iv.scales3 if iv.scales3 is not None
-               else jnp.zeros((1, 1), jnp.float32))
-        return fn(self.E, iv.E_c3, sc3, iv.perm, iv.centroids,
-                  iv.blk_start, iv.nblk, iv.counts, jnp.int32(iv.built),
-                  self.count_device(), qj)
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:
@@ -437,6 +448,55 @@ class DeviceIndex:
     @staticmethod
     def exists_snapshot(path: str) -> bool:  # pragma: no cover - trivial
         return Path(path).exists()
+
+
+def stream_search_core(E, count, q, k: int, block_rows: int, bin_width,
+                       scales=None):
+    """Traceable exact/int8 streaming top-k with automatic kernel choice
+    (two-pass binmax when it pays, single-pass otherwise) — the shared
+    core behind DeviceIndex.search, the sharded per-shard search, and
+    the engine's fused encode+search program.
+
+    ``scales`` non-None selects the int8 kernels (E is then the int8
+    matrix with per-row scales)."""
+    from modular_rag_system_tpu.ops.binmax_topk import (
+        _MIN_TWOPASS_CAP,
+        auto_bin_width,
+        twopass_topk_int8_raw,
+        twopass_topk_raw,
+    )
+    from modular_rag_system_tpu.ops.fused_topk import (
+        _max_block_rows,
+        _use_interpret,
+        fused_topk_int8_raw,
+        fused_topk_raw,
+    )
+
+    int8 = scales is not None
+    cap = E.shape[0]
+    bw = auto_bin_width(cap)
+    interpret = _use_interpret()
+    if bin_width is None and cap >= _MIN_TWOPASS_CAP and cap // bw >= k + 1:
+        br = min(max(block_rows, 4096), cap,
+                 _max_block_rows(E.shape[1],
+                                 jnp.bfloat16 if int8 else E.dtype))
+        if int8:
+            return twopass_topk_int8_raw(
+                E, scales.reshape(-1), count, q, k, br, bw, interpret)
+        return twopass_topk_raw(E, count, q, k, br, bw, interpret)
+    qp = q
+    pad_mult = 16 if int8 else 8
+    if qp.shape[0] % pad_mult:
+        qp = jnp.pad(qp, ((0, pad_mult - qp.shape[0] % pad_mult), (0, 0)))
+    br = min(block_rows, cap)
+    if int8:
+        vals, rid = fused_topk_int8_raw(
+            E, scales.reshape(1, cap), count, qp, k, br, interpret,
+            bin_width=bin_width)
+    else:
+        vals, rid = fused_topk_raw(E, count, qp, k, br, interpret,
+                                   bin_width=bin_width)
+    return vals[: q.shape[0]], rid[: q.shape[0]]
 
 
 from functools import partial  # noqa: E402

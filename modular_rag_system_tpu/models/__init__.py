@@ -38,8 +38,11 @@ def build_encoder(config):
         return enc
     if model in ("minilm", "auto"):
         try:
-            # prefer real pretrained weights when an HF cache exists
-            # (zero-egress container: usually absent -> random init)
+            # resolution order: exact HF weights when a cache exists ->
+            # the BUNDLED checkpoint trained by the framework's own
+            # trainer (models/default_ckpt.py; a fresh zero-egress
+            # install still embeds real English semantically) -> random
+            # init as the last resort
             from modular_rag_system_tpu.models.hf_loader import (
                 try_build_pretrained_encoder,
             )
@@ -47,6 +50,13 @@ def build_encoder(config):
             pretrained = try_build_pretrained_encoder(config)
             if pretrained is not None:
                 return pretrained
+            from modular_rag_system_tpu.models.default_ckpt import (
+                try_build_default_encoder,
+            )
+
+            bundled = try_build_default_encoder(config)
+            if bundled is not None:
+                return bundled
             from modular_rag_system_tpu.models.encoder import MiniLMEncoder
 
             return MiniLMEncoder(

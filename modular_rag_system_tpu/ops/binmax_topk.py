@@ -473,6 +473,39 @@ def twopass_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 4096,
 _MIN_TWOPASS_CAP = 8192
 
 
+_BIG_I32 = np.int32(2**31 - 1)
+
+
+def refine_against_master(E, q, rows, k: int):
+    """Rescore candidate ``rows`` (Q, kf) against the master matrix and
+    return the exact top-k among them (ties by smallest id).
+
+    The int8 tier over-selects kf = k + m candidates by quantized score,
+    then this tiny (Q, kf) row gather re-ranks them in the master's
+    precision — recall is then bounded by candidate COVERAGE, not by
+    int8 rounding, and returned similarities match the exact tiers'."""
+    safe = jnp.maximum(rows, 0)
+    cand = E[safe].astype(jnp.float32)  # (Q, kf, d) — tiny
+    scores = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), cand,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(rows >= 0, scores, _NEG_INF)
+    ids = jnp.where(rows >= 0, rows, _BIG_I32)
+    vals, out = _select_topk(scores, ids, k)
+    return vals, jnp.where(jnp.isfinite(vals), out, -1).astype(jnp.int32)
+
+
+# extra candidates the int8 tier over-selects for the master rescore;
+# skipped at deep-refill k where the unrolled select would not pay
+_REFINE_EXTRA_MAX = 32
+_REFINE_K_MAX = 128
+
+
+def int8_refine_kf(k: int, count: int) -> int:
+    if k > _REFINE_K_MAX:
+        return k
+    return min(k + min(k, _REFINE_EXTRA_MAX), max(count, 1))
+
+
 def auto_bin_width(cap: int) -> int:
     """Capacity-scaled bin width: bw=32 wins up to a few million rows
     (pass-2 slab traffic dominates); at 10M+ the per-query bin top-k

@@ -415,7 +415,7 @@ class ShardedIndex:
             iv.scales = None
         iv.stale_rows += int(mask.sum())
 
-    def _ivf2_search(self, qj, k: int):
+    def _build_ivf2_search(self, Qp: int, k: int):
         """One jitted shard_map program: per-shard ivf2 core (fine
         kernel + exact tail + master rescore) -> ICI merge."""
         from modular_rag_system_tpu.ops.ivf2 import ivf2_search_core
@@ -426,14 +426,8 @@ class ShardedIndex:
         U = 4
         L = max(int(np.sort(iv.nblk_h, axis=1)[:, ::-1][:, :nprobe].sum(axis=1).max()), 1)
         L = ((L + U - 1) // U) * U
-        tail = self.count - iv.built
-        tail_s = 0 if tail <= 0 else min(
-            max(8192, _next_pow2((tail + S - 1) // S)), self.cap_s)
-        Qp = qj.shape[0]
-        key = ("ivf2", Qp, k, nprobe, L, tail_s, self.cap_s, iv.version,
-               iv.fine_dtype)
-        fn = self._search_cache.get(key)
-        if fn is None:
+        tail_s = self._ivf_tail_s()
+        if True:
             interpret = _use_interpret()
             axes = (axis,) if isinstance(axis, str) else tuple(axis)
             hierarchical = isinstance(axis, tuple)
@@ -479,13 +473,7 @@ class ShardedIndex:
                 out_specs=(P(), P()),
                 check_vma=False,
             ))
-            self._search_cache[key] = fn
-        sc_in = (iv.scales if iv.scales is not None
-                 else jax.device_put(jnp.zeros((S, 1, 1), jnp.float32),
-                                     NamedSharding(mesh, P(axis, None, None))))
-        return fn(self.E, iv.E_c, sc_in, iv.perm, iv.blk_start, iv.nblk,
-                  iv.counts, iv.centroids, jnp.int32(iv.built),
-                  self.count_device(), qj)
+        return fn
 
     # ------------------------------------------------------------------
     def _build_search(self, Qp: int, k: int, tier: Optional[str] = None):
@@ -508,7 +496,7 @@ class ShardedIndex:
                 return jax.lax.axis_index(dcn_ax) * ici_size + jax.lax.axis_index(ici_ax)
             return jax.lax.axis_index(axis)
 
-        def local_and_merge(E_s, scales_s, count, q):
+        def local_and_merge(E_s, scales_s, master_s, count, q):
             E_s = E_s[0]  # (cap_s, d)
             s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
@@ -545,24 +533,34 @@ class ShardedIndex:
                 from modular_rag_system_tpu.ops.binmax_topk import (
                     _MIN_TWOPASS_CAP,
                     auto_bin_width,
+                    int8_refine_kf,
+                    refine_against_master,
                     twopass_topk_int8_raw,
                 )
                 from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
 
+                # over-select by quantized score, then rescore the tiny
+                # candidate set against this shard's MASTER rows so the
+                # merged results carry master-exact similarities and
+                # recall is bounded by coverage, not int8 rounding
+                kf = int8_refine_kf(k, cap_s)
                 bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
-                        and cap_s // bw >= k + 1):
+                        and cap_s // bw >= kf + 1):
                     br = min(max(block_rows, 4096), cap_s,
                              _max_block_rows(E_s.shape[1], jnp.bfloat16))
                     vals, loc = twopass_topk_int8_raw(
-                        E_s, scales_s.reshape(-1), count_s, q, k, br, bw,
+                        E_s, scales_s.reshape(-1), count_s, q, kf, br, bw,
                         interpret,
                     )
                 else:
                     vals, loc = fused_topk_int8_raw(
-                        E_s, scales_s, count_s, q, k, block_rows, interpret,
+                        E_s, scales_s, count_s, q, kf, block_rows, interpret,
                         bin_width=bin_width,
                     )
+                if kf > k:
+                    vals, loc = refine_against_master(
+                        master_s[0], q, loc, k)
             else:
                 raise ValueError(f"unknown tier {tier!r}")
             gids = loc * S + s
@@ -585,8 +583,11 @@ class ShardedIndex:
             return gather_merge(vals, gids, axis)
 
         # tuple axis shards dim 0 over both mesh axes -> per-shard block
-        # is (1, cap_s, d) in both the flat and hierarchical cases.
-        in_specs = (P(axis, None, None), P(axis, None), P(), P())
+        # is (1, cap_s, d) in both the flat and hierarchical cases.  The
+        # third operand (master rows for the int8 refine) is a dummy
+        # (S, 1, 1) for the other tiers.
+        in_specs = (P(axis, None, None), P(axis, None),
+                    P(axis, None, None), P(), P())
         fn = jax.shard_map(
             local_and_merge,
             mesh=self.mesh,
@@ -607,46 +608,78 @@ class ShardedIndex:
         """Sublane multiple queries must pad to for the current tier."""
         return 16 if self.tier == "int8" else 8
 
-    def search_inputs(self):
-        """(E_in, sc_in) for the current tier, refreshing lazy copies.
+    def _dummy3(self):
+        if (getattr(self, "_dummy3_arr", None) is None):
+            self._dummy3_arr = jax.device_put(
+                jnp.zeros((self.S, 1, 1), jnp.float32),
+                NamedSharding(self.mesh, P(self.axis, None, None)),
+            )
+        return self._dummy3_arr
 
-        Exposed so the engine's fused encode+search program can feed the
-        same shard_map search this class uses.  (The ivf tier's operand
-        set is richer — see ``_ivf2_search`` — and is not served here.)"""
-        if self.tier == "int8":
+    def _effective_tier(self, k: int) -> str:
+        """ivf serves the exact stream below the build threshold or at
+        deep-refill k (the in-kernel running selection would not fit)."""
+        if self.tier == "ivf" and (self._ivf2 is None or k > 64):
+            return "exact"
+        return self.tier
+
+    def search_ops(self, tier: Optional[str] = None) -> Tuple:
+        """Tier-correct operand tuple for search_core; hold _lock."""
+        tier = tier or self._effective_tier(1)
+        if tier == "ivf":
+            iv = self._ivf2
+            sc = (iv.scales if iv.scales is not None else self._dummy3())
+            return (self.E, iv.E_c, sc, iv.perm, iv.blk_start, iv.nblk,
+                    iv.counts, iv.centroids, jnp.int32(iv.built))
+        if tier == "int8":
             self._refresh_quant()
-            return self._E_q, self._scales
-        if self.tier == "bf16":
-            if self.store_dtype == "bfloat16":
-                if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
-                    self._dummy_scales = jax.device_put(
-                        jnp.zeros((self.S, self.cap_s), jnp.float32),
-                        self._scale_sharding,
-                    )
-                return self.E, self._dummy_scales
+            return (self._E_q, self._scales, self.E)
+        if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
+            self._dummy_scales = jax.device_put(
+                jnp.zeros((self.S, self.cap_s), jnp.float32),
+                self._scale_sharding,
+            )
+        if tier == "bf16" and self.store_dtype != "bfloat16":
             if self._E_bf16 is None:
                 self._E_bf16 = jax.jit(
                     lambda e: e.astype(jnp.bfloat16),
                     out_shardings=self._row_sharding,
                 )(self.E)
                 self.derived_rebuilds += 1
-        if self._dummy_scales is None or self._dummy_scales.shape[1] != self.cap_s:
-            self._dummy_scales = jax.device_put(
-                jnp.zeros((self.S, self.cap_s), jnp.float32),
-                self._scale_sharding,
-            )
-        E_in = self._E_bf16 if self.tier == "bf16" else self.E
-        return E_in, self._dummy_scales
+            return (self._E_bf16, self._dummy_scales, self._dummy3())
+        return (self.E, self._dummy_scales, self._dummy3())
 
-    def search_fn(self, Qp: int, k: int, tier: Optional[str] = None):
-        """Cached jitted shard_map search for padded query rows Qp."""
-        tier = tier or self.tier
-        key = (Qp, k, tier, self.cap_s)
+    def _ivf_tail_s(self) -> int:
+        tail = self.count - self._ivf2.built
+        return 0 if tail <= 0 else min(
+            max(8192, _next_pow2((tail + self.S - 1) // self.S)), self.cap_s)
+
+    def search_token(self, k: int = 1) -> Tuple:
+        tier = self._effective_tier(k)
+        t = (tier, self.cap_s, self.fused_bin_width, self.store_dtype)
+        if tier == "ivf":
+            iv = self._ivf2
+            t += (iv.version, iv.fine_dtype, self._ivf_tail_s(),
+                  self.ivf_nprobe)
+        return t
+
+    def search_core(self, Qp: int, k: int):
+        """fn(ops, count, q) for the current tier/state, cached+jitted.
+
+        Also the engine's fused encode+search entry (VERDICT r2 item 8:
+        the ivf tier now rides the same one-dispatch program)."""
+        tier = self._effective_tier(k)
+        key = (Qp, k) + self.search_token(k)
         fn = self._search_cache.get(key)
         if fn is None:
-            fn = self._build_search(Qp, k, tier=tier)
+            if len(self._search_cache) > 64:
+                self._search_cache.clear()
+            if tier == "ivf":
+                fn = self._build_ivf2_search(Qp, k)
+            else:
+                fn = self._build_search(Qp, k, tier=tier)
             self._search_cache[key] = fn
-        return fn
+        return lambda ops, count, q: fn(*ops, count, q)
 
     # ------------------------------------------------------------------
     def _build_deep_exact(self, Qp: int, k: int):
@@ -754,20 +787,10 @@ class ShardedIndex:
         with self._lock:
             # snapshot + dispatch under the lock: a concurrent add()
             # donates the old E buffer and mutates the ivf2 structure
-            if self.tier == "ivf" and self._ivf2 is not None and k_eff <= 64:
-                vals, gids = self._ivf2_search(qj, k_eff)
-            else:
-                # ivf below the build threshold (or at deep refill k,
-                # where the in-kernel running selection would not fit):
-                # exact fallback — recall 1.0, the clustered trade only
-                # pays at scale
-                tier_used = "exact" if self.tier == "ivf" else None
-                E_in, sc_in = self.search_inputs()
-                fn = self.search_fn(Qp, k_eff, tier=tier_used)
-                # int8 raw expects scales as (1, cap_s) inside the shard
-                # -- the P(axis, None) block IS (1, cap_s) after
-                # shard_map splits
-                vals, gids = fn(E_in, sc_in, self.count_device(), qj)
+            tier = self._effective_tier(k_eff)
+            fn = self.search_core(Qp, k_eff)
+            ops = self.search_ops(tier)
+            vals, gids = fn(ops, self.count_device(), qj)
         vals = np.asarray(vals)[:Q]
         gids = np.asarray(gids)[:Q]
         gids = np.where(np.isfinite(vals), gids, -1)

@@ -206,13 +206,13 @@ def test_fused_query_path_matches_two_step(tmp_storage):
     eng._fused_query_cache.clear()
     res2 = eng.query("machine learning language", max_results=3)
     assert res2.documents
-    assert any(k[2] == "bf16" for k in eng._fused_query_cache)
+    assert any("bf16" in k for k in eng._fused_query_cache)
     # int8 tier too (round 2): one dispatch, results match the two-step path
     eng.index.tier = "int8"
     eng._fused_query_cache.clear()
     scores8, rows8 = eng.index.search(q_emb, 6)
     fused8 = eng._device_query(["machine learning language"], 6)
-    assert any(k[2] == "int8" for k in eng._fused_query_cache)
+    assert any("int8" in k for k in eng._fused_query_cache)
     np.testing.assert_array_equal(fused8[1][0], rows8[0])
     np.testing.assert_allclose(fused8[0][0], scores8[0], rtol=1e-3, atol=2e-3)
     eng.shutdown()
@@ -527,3 +527,37 @@ def test_tier_config_survives_compact_and_reembed(fake_config):
             assert res.documents
         finally:
             eng.shutdown()
+
+
+def test_ivf_tier_rides_fused_program(tmp_storage):
+    """VERDICT r2 item 8: the ivf tier joins the one-dispatch fused
+    encode+search program instead of paying two device round-trips."""
+    from modular_rag_system_tpu.config import RAGConfig
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "dim": 64, "max_seq_len": 32,
+                      "batch_size": 8, "num_layers": 2, "num_heads": 4,
+                      "mlp_dim": 128, "vocab_size": 1000, "dtype": "float32"},
+        "store": {"storage_path": tmp_storage},
+        "retrieval": {"similarity_threshold": 0.0},
+        "index": {"tier": "ivf", "ivf_clusters": 4, "ivf_nprobe": 4,
+                  "ivf_rebuild_min": 4, "ivf_fine_dtype": "bf16"},
+    })
+    eng = RAGEngine(cfg)
+    try:
+        for text, source in CORPUS:
+            eng.add_document(text, source=source)
+        assert eng.index._ivf2 is not None
+        res = eng.query("machine learning language", max_results=3)
+        assert res.documents
+        assert any("ivf2" in k for k in eng._fused_query_cache), \
+            list(eng._fused_query_cache)
+        # fused result == two-step result
+        q_emb = np.asarray(eng.encoder.encode_queries(["machine learning language"]))
+        scores, rows = eng.index.search(q_emb, 4)
+        fused = eng._device_query(["machine learning language"], 4)
+        np.testing.assert_array_equal(fused[1][0], rows[0])
+        np.testing.assert_allclose(fused[0][0], scores[0], rtol=1e-4,
+                                   atol=1e-5)
+    finally:
+        eng.shutdown()

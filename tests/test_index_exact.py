@@ -163,3 +163,48 @@ def test_derived_tiers_update_incrementally(rng):
         idx.add(rng.standard_normal((8000, 32)).astype(np.float32))
         idx.search(q, 5)
         assert idx.derived_rebuilds == 2
+
+
+def test_int8_tier_returns_master_exact_scores(rng):
+    """The int8 tier over-selects by quantized score then rescores the
+    candidates against the master matrix: returned similarities match
+    the exact tier's on the same rows, and recall@10 improves over the
+    raw int8 ranking."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_int8
+    from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+    n, d, k = 20000, 64, 10
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    exact = DeviceIndex(dim=d, tier="exact")
+    exact.add(E)
+    ev, er = exact.search(q, k)
+
+    idx = DeviceIndex(dim=d, tier="int8")
+    idx.add(E)
+    iv, ir = idx.search(q, k)
+
+    # raw (un-refined) int8 kernel ranking for comparison
+    E_q, scales = quantize_rows(jnp.asarray(E[:idx.capacity]))
+    rv, rr = twopass_topk_int8(idx._E_q, idx._scales, jnp.int32(n),
+                               jnp.asarray(q), k, block_rows=4096)
+    rr = np.asarray(rr)
+
+    def recall(rows):
+        return np.mean([len(set(er[i]) & set(rows[i])) / k
+                        for i in range(len(q))])
+
+    assert recall(ir) >= recall(rr) - 1e-9
+    # scores are master-exact: wherever refined rows coincide with the
+    # exact tier's rows, scores must agree to f32-accumulation tolerance
+    for i in range(len(q)):
+        common = set(er[i]) & set(ir[i])
+        for r in common:
+            a = ev[i][list(er[i]).index(r)]
+            b = iv[i][list(ir[i]).index(r)]
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
