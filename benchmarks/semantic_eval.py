@@ -17,6 +17,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import argparse
 import json
 import random
 import sys
@@ -27,6 +28,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hardness", default="0.0,0.4,0.6,0.8",
+                    help="comma list; word-pool sharing for near-alias "
+                         "distractors (models/synth.py, VERDICT r2 item 9)")
+    ap.add_argument("--facts-per-doc", type=int, default=1)
+    args = ap.parse_args()
+    hardness_list = [float(h) for h in args.hardness.split(",")]
+
     import jax
 
     from modular_rag_system_tpu.models.encoder import MiniLMEncoder
@@ -55,45 +64,59 @@ def main() -> int:
         lr = 3e-3
     k = 10
 
-    corpus = make_paraphrase_corpus(n_entities=n_entities,
-                                    n_relations=n_relations, seed=0)
-
-    hash_rec = recall_at_k(FeatureHashEncoder(dim=enc_kw["dim"]), corpus, k)
-    enc = MiniLMEncoder(**enc_kw)
-    untrained_rec = recall_at_k(enc, corpus, k)
-
     devices = default_devices()
     mesh = make_train_mesh(len(devices), 1, devices=devices)
-    trainer = ContrastiveTrainer(enc, mesh, learning_rate=lr)
-    pairs = list(zip(corpus.train_queries,
-                     [corpus.docs[i] for i in corpus.train_doc_idx]))
-    rng = random.Random(1)
-    t0 = time.perf_counter()
-    final_loss = float("nan")
-    for step in range(steps):
-        sample = [pairs[rng.randrange(len(pairs))] for _ in range(batch)]
-        loss, acc = trainer.step([q for q, _ in sample], [p for _, p in sample])
-        if step == steps - 1:
-            final_loss = float(loss)
-    train_s = time.perf_counter() - t0
-    trainer.sync_encoder()
-    trained_rec = recall_at_k(enc, corpus, k)
 
+    def run_one(hardness: float):
+        corpus = make_paraphrase_corpus(
+            n_entities=n_entities, n_relations=n_relations, seed=0,
+            hardness=hardness, facts_per_doc=args.facts_per_doc)
+        hash_rec = recall_at_k(FeatureHashEncoder(dim=enc_kw["dim"]), corpus, k)
+        enc = MiniLMEncoder(**enc_kw)
+        untrained_rec = recall_at_k(enc, corpus, k)
+        trainer = ContrastiveTrainer(enc, mesh, learning_rate=lr)
+        pairs = list(zip(corpus.train_queries,
+                         [corpus.docs[i] for i in corpus.train_doc_idx]))
+        rng = random.Random(1)
+        t0 = time.perf_counter()
+        final_loss = float("nan")
+        for step in range(steps):
+            sample = [pairs[rng.randrange(len(pairs))] for _ in range(batch)]
+            loss, acc = trainer.step([q for q, _ in sample],
+                                     [p for _, p in sample])
+            if step == steps - 1:
+                final_loss = float(loss)
+        train_s = time.perf_counter() - t0
+        trainer.sync_encoder()
+        trained_rec = recall_at_k(enc, corpus, k)
+        return {
+            "hardness": hardness,
+            "recall_at_10": round(trained_rec, 4),
+            "hash_baseline": round(hash_rec, 4),
+            "untrained_baseline": round(untrained_rec, 4),
+            "corpus_docs": len(corpus.docs),
+            "eval_queries": len(corpus.eval_queries),
+            "train_seconds": round(train_s, 1),
+            "final_loss": round(final_loss, 4),
+        }
+
+    curve = [run_one(h) for h in hardness_list]
+    # headline: the hardest setting — the knob the judge asked for (a
+    # number strictly between chance and 1.0 that future rounds can
+    # regress against)
+    head = curve[-1]
+    chance = k / head["corpus_docs"]
     print(json.dumps({
         "metric": f"semantic recall@{k} (held-out paraphrases)",
-        "value": round(trained_rec, 4),
+        "value": head["recall_at_10"],
         "unit": "recall",
-        # vs chance (k random docs of the corpus): lexical baselines sit
-        # AT chance here by construction, so chance is the honest floor
-        "vs_baseline": round(trained_rec / (k / len(corpus.docs)), 1),
-        "hash_baseline": round(hash_rec, 4),
-        "untrained_baseline": round(untrained_rec, 4),
-        "corpus_docs": len(corpus.docs),
-        "eval_queries": len(corpus.eval_queries),
-        "train_pairs": len(pairs),
+        "hardness": head["hardness"],
+        "facts_per_doc": args.facts_per_doc,
+        # vs chance (k random docs): lexical baselines sit AT chance by
+        # construction (zero query/doc overlap), so chance is the floor
+        "vs_baseline": round(head["recall_at_10"] / chance, 1),
+        "curve": curve,
         "train_steps": steps,
-        "train_seconds": round(train_s, 1),
-        "final_loss": round(final_loss, 4),
         "backend": jax.default_backend(),
     }))
     return 0

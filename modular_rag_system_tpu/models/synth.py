@@ -71,28 +71,92 @@ def make_paraphrase_corpus(
     phrase_words: int = 3,
     name_words: int = 2,
     seed: int = 0,
+    hardness: float = 0.0,
+    facts_per_doc: int = 1,
 ) -> ParaphraseCorpus:
+    """``hardness`` in [0, 1) de-saturates the eval (VERDICT r2 item 9):
+
+    * 0.0 — every alias/paraphrase word is globally unique (the r2
+      corpus; trained encoders hit recall 1.0 at tested scales).
+    * > 0 — alias and query-phrasing words are drawn from SHARED pools
+      whose size shrinks with hardness, so different entities' aliases
+      collide on words (near-alias distractors) and different
+      relations' query phrasings overlap (same-entity/different-relation
+      confusion).  Query-vs-document vocabulary stays fully disjoint —
+      lexical matching still scores ~chance; hardness only makes the
+      SEMANTIC discrimination finer-grained.
+
+    ``facts_per_doc`` > 1 packs several different entities' facts into
+    one document (multi-fact documents): the gold document for a query
+    also scores on its other facts' vocabulary, adding retrieval-side
+    distraction."""
     rng = random.Random(seed)
     word = _word_maker(rng)
+
+    def shared_pool(n_unique_words: int):
+        # pool size interpolates: hardness 0 -> unique words per slot,
+        # hardness -> 1 shrinks toward a handful of shared words
+        if hardness <= 0.0:
+            return None
+        size = max(4, int(round(n_unique_words * (1.0 - hardness))))
+        return [word() for _ in range(size)]
+
+    alias_pool = shared_pool(n_entities * name_words)
+    qphr_pool = shared_pool(n_relations * phrase_words)
+
+    def draw(pool, n):
+        if pool is None:
+            return " ".join(word() for _ in range(n))
+        return " ".join(rng.choice(pool) for _ in range(n))
+
+    seen_alias: set = set()
+    seen_qphr: set = set()
+
+    def unique_draw(pool, n, seen):
+        # distinct surface forms even under heavy word sharing, so two
+        # entities never become literally indistinguishable
+        for _ in range(64):
+            s = draw(pool, n)
+            if s not in seen:
+                seen.add(s)
+                return s
+        s = draw(None, n)
+        seen.add(s)
+        return s
 
     entities = [
         (
             " ".join(word() for _ in range(name_words)),
-            " ".join(word() for _ in range(name_words)),
+            unique_draw(alias_pool, name_words, seen_alias),
         )
         for _ in range(n_entities)
     ]
     relations = [
         (
             " ".join(word() for _ in range(phrase_words)),
-            " ".join(word() for _ in range(phrase_words)),
+            unique_draw(qphr_pool, phrase_words, seen_qphr),
         )
         for _ in range(n_relations)
     ]
 
     facts = [(e, r) for e in range(n_entities) for r in range(n_relations)]
-    docs = [f"{entities[e][0]} {relations[r][0]}" for e, r in facts]
+    fact_text = [f"{entities[e][0]} {relations[r][0]}" for e, r in facts]
     queries = [f"{entities[e][1]} {relations[r][1]}" for e, r in facts]
+
+    if facts_per_doc <= 1:
+        docs = fact_text
+        fact_doc = list(range(len(facts)))
+    else:
+        # pack consecutive shuffled facts into multi-fact documents
+        pack = list(range(len(facts)))
+        rng.shuffle(pack)
+        docs = []
+        fact_doc = [0] * len(facts)
+        for d_i, lo in enumerate(range(0, len(pack), facts_per_doc)):
+            group = pack[lo : lo + facts_per_doc]
+            docs.append(". ".join(fact_text[i] for i in group))
+            for i in group:
+                fact_doc[i] = d_i
 
     order = list(range(len(facts)))
     rng.shuffle(order)
@@ -101,9 +165,9 @@ def make_paraphrase_corpus(
     return ParaphraseCorpus(
         docs=docs,
         train_queries=[queries[i] for i in train],
-        train_doc_idx=list(train),
+        train_doc_idx=[fact_doc[i] for i in train],
         eval_queries=[queries[i] for i in evals],
-        eval_doc_idx=list(evals),
+        eval_doc_idx=[fact_doc[i] for i in evals],
         entities=entities,
         relations=relations,
     )

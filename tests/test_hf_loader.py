@@ -138,4 +138,6 @@ def test_factory_uses_local_checkpoint(tiny_bert_dir):
         "embedding": {"model": "minilm", "dim": 384, "hf_checkpoint": tiny_bert_dir},
     })
     enc2 = build_encoder(cfg2)
-    assert enc2.dim == 384 and enc2.tokenizer.name != "wordpiece"
+    # refused HF checkpoint now falls back to the BUNDLED default
+    # (round 3) rather than random init
+    assert enc2.dim == 384 and "bundled" in enc2.name
