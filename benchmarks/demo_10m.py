@@ -35,7 +35,6 @@ def main() -> int:
     import jax.numpy as jnp
 
     from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_raw
-    from modular_rag_system_tpu.ops.exact import exact_topk_raw
     from modular_rag_system_tpu.ops.fused_topk import _use_interpret
     from modular_rag_system_tpu.ops.ivf2 import IVF2, ivf2_search_core
 
@@ -83,9 +82,12 @@ def main() -> int:
     q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
     q = jnp.asarray(q_host.astype(np.float32))
 
-    # exact ground truth (bf16 corpus, f32 accumulate)
-    exact_jit = jax.jit(exact_topk_raw, static_argnames=("k",))
-    _, eids = exact_jit(E, jnp.int32(N), q, k=k)
+    # exact ground truth via the streaming two-pass kernel: a plain
+    # (Q, N) score matrix at Q=256 x 10.5M would be 10 GB and OOM HBM
+    gt = jax.jit(functools.partial(
+        twopass_topk_raw, k=k, block_rows=4096,
+        bin_width=64 if on_tpu else 8, interpret=interp))
+    _, eids = gt(E, jnp.int32(N), q)
     eids = np.asarray(eids)
     note("ground truth done")
 

@@ -190,8 +190,10 @@ def config4_ivf_sweep(scale):
     from modular_rag_system_tpu.ops.exact import exact_topk
     from modular_rag_system_tpu.ops.ivf2 import IVF2, ivf2_search_core
 
-    N = 4_194_304 if scale == "full" else 131_072
-    d, Q, k = 384, 64, 10
+    N = 4_194_304 if scale == "full" else 16_384
+    # interpret-mode Pallas (CPU smoke) pays a Python-loop fine kernel;
+    # keep the smoke tiny
+    d, Q, k = 384, (64 if scale == "full" else 8), 10
     rng = np.random.default_rng(0)
     # clustered corpus: uniformly random vectors have no neighborhood
     # structure for IVF to exploit (recall == fraction scanned); real
@@ -226,13 +228,17 @@ def config4_ivf_sweep(scale):
            else jnp.zeros((1, 1), jnp.float32))
     curve = []
     U = 4
-    for nprobe in (1, 2, 4, 8, 16, 32):
+    probe_list = (1, 2, 4, 8, 16, 32) if scale == "full" else (2, 8)
+    for nprobe in probe_list:
         if nprobe > n_clusters:
             break
         L = ivf.slots_for_nprobe(nprobe)
         L = ((L + U - 1) // U) * U
+        from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+
         core = jax.jit(functools.partial(
-            ivf2_search_core, k=k, nprobe=nprobe, L=L, tail_max=0, U=U))
+            ivf2_search_core, k=k, nprobe=nprobe, L=L, tail_max=0, U=U,
+            interpret=_use_interpret()))
         cnt = jnp.int32(N)
         args = (Ej, ivf.E_c3, sc3, ivf.perm, ivf.centroids, ivf.blk_start,
                 ivf.nblk, ivf.counts, cnt, cnt, qj)

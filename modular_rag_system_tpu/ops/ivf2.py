@@ -325,7 +325,7 @@ def _fine_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, k: int,
             preferred_element_type=jnp.float32,
         )  # (1, SLAB)
         if int8:
-            s = s * scs[u][:]  # (1, SLAB) per-row scales
+            s = s * scs[u][0]  # (1, SLAB) per-row scales
         slot = j * U + u
         vc = vcnt_ref[i, slot]
         blk = blk_ref[i, slot]
@@ -367,9 +367,12 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
                      memory_space=pltpu.VMEM)
         for uu in range(U)
     ]
+    # Mosaic wants rank-2 blocks with >=8 sublanes; a (nblocks, 1, SLAB)
+    # view makes the per-block scale row a legal (1, 1, SLAB) block
     scale_specs = [
-        pl.BlockSpec((1, SLAB),
-                     functools.partial(lambda u, i, j, b, v: (b[i, j * U + u], 0), uu),
+        pl.BlockSpec((1, 1, SLAB),
+                     functools.partial(
+                         lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
         for uu in range(U)
     ] if int8 else []
@@ -390,7 +393,8 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
             pltpu.VMEM((1, k), jnp.int32),
         ],
     )
-    operands = [q] + [E_c3] * U + ([scales3] * U if int8 else [])
+    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
+    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
     vals, slots = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
