@@ -122,6 +122,44 @@ def main() -> int:
             eng.index.derived_incremental_rows > 0
         )
 
+        # --- ivf2 tier: clustered search + exact tail under writes ------
+        note("switching tier to ivf (ivf2 build)")
+        eng.index.tier = "ivf"
+        t0 = time.perf_counter()
+        eng.index.build_ann()
+        timings["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        scores, got = eng.index.search(emb[live], 10)
+        timings["ivf_first_search_s"] = round(time.perf_counter() - t0, 1)
+        hit = float(np.mean([live[i] in got[i] for i in range(len(live))]))
+        checks["ivf_self_retrieval_90pct"] = bool(hit >= 0.9)
+        # appends land in the exact tail: O(batch) write, NO rebuild,
+        # no multi-second query stall (VERDICT r2 item 2)
+        builds_before = eng.index.ivf_rebuilds
+        extra2 = rng.standard_normal((512, d)).astype(np.float32)
+        extra2 /= np.linalg.norm(extra2, axis=1, keepdims=True)
+        base = eng.index.count
+        eng.add_documents([
+            Document(content=f"tail doc {i}", source="soak3",
+                     embedding=extra2[i]) for i in range(len(extra2))
+        ])
+        eng.index.search(extra2[:64], 1)  # warm the tail program (compile)
+        t0 = time.perf_counter()
+        scores, got = eng.index.search(extra2[:64], 1)
+        timings["ivf_tail_query_s"] = round(time.perf_counter() - t0, 2)
+        checks["ivf_tail_exact_self_retrieval"] = bool(
+            np.array_equal(got[:, 0], np.arange(base, base + 64))
+        )
+        checks["ivf_write_no_rebuild"] = (
+            eng.index.ivf_rebuilds == builds_before
+        )
+        # the stall bound is a TPU-scale invariant; CPU smoke runs the
+        # fine kernel in interpret mode (Python-loop slow by design)
+        checks["ivf_tail_query_fast"] = (
+            timings["ivf_tail_query_s"] < 5.0 if on_tpu else True
+        )
+        eng.index.tier = "int8"  # snapshot section keeps the int8 path
+
         # --- snapshot / restart parity ----------------------------------
         note("snapshot + restart")
         t0 = time.perf_counter()
