@@ -116,23 +116,21 @@ def main() -> int:
         QS1 = QS[:, :Q1]
         dt128 = slope_time("twopass", QS1)
         fused_dt = slope_time("fused", QS1)
-        # int8 TIER path at the serving batch Q=256: int8 x int8 MXU
-        # pass-1, then the engine's master-rescore refine (round 3) —
-        # recall bounded by candidate coverage, similarities exact
+        # int8 TIER path at the serving batch Q=256: mixed two-pass —
+        # int8 x int8 MXU pass-1 selects bins, pass-2 rescans the bf16
+        # MASTER slabs (r3.2) — similarities master-exact, recall
+        # bounded by pass-1 bin coverage (measured 1.0 at the default
+        # margin on this corpus; tools/exp_int8_mixed.py)
         from modular_rag_system_tpu.ops.binmax_topk import (
-            int8_refine_kf,
-            refine_against_master,
-            twopass_topk_int8_raw,
+            twopass_topk_int8_master_raw,
         )
         from modular_rag_system_tpu.ops.quantize import quantize_rows
 
         E_q, scales = quantize_rows(Ej)
-        kf = int8_refine_kf(k, N)
 
         def int8_tier(Eq, sc, E16, qq):
-            v, r = twopass_topk_int8_raw(Eq, sc, cnt, qq, kf, 4096, 32,
-                                         interp)
-            return refine_against_master(E16, qq, r, k)
+            return twopass_topk_int8_master_raw(Eq, sc, E16, cnt, qq, k,
+                                                4096, 32, interp)
 
         @functools.partial(jax.jit, static_argnames=("m",))
         def chain_i8(Eq, sc, E16, qs, m):

@@ -446,6 +446,72 @@ _twopass_int8_jit = jax.jit(
 )
 
 
+# Coverage margin for the mixed path below: int8 pass-1 bin maxima can
+# MIS-RANK bins by the row-quantization error (~0.3-0.5% relative at
+# d=384) — not the ulp-level flips _MARGIN_BINS absorbs — so it scans a
+# few extra bins.  Measured at 1M x 384 (tools/exp_int8_mixed.py):
+# extra=2 already reaches the refine path's recall at ~25% more pass-2
+# traffic than the exact-bf16 pass 2.
+_INT8_MIXED_EXTRA_BINS = 2
+
+
+def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
+                                 block_rows: int, bin_width: int,
+                                 interpret: bool,
+                                 extra_bins: int = _INT8_MIXED_EXTRA_BINS):
+    """Mixed two-pass: int8 pass-1 selects bins, pass-2 rescans the
+    MASTER matrix — returned scores are master-exact.
+
+    Replaces the r3 ``twopass_topk_int8_raw(kf) + refine_against_master``
+    tier path: that chain paid kf-widened pass-2 slab traffic (kb scales
+    with kf) PLUS a separate (Q, kf) row gather.  Here pass 2 reads the
+    (k + 1 + margin + ``extra_bins``) master slabs directly, so the
+    refine stage disappears and recall is bounded only by pass-1 bin
+    COVERAGE (int8 binmax ranking), measured ~0.995 at 1M x 384 vs
+    0.9941 for the refine chain — at ~1.5x its throughput.
+
+    ``E_master`` is the tier's master matrix (bf16 or f32 — the same
+    array the engine already keeps for snapshots/re-embeds, so the mixed
+    path costs no extra HBM).  Same contract as ``twopass_topk_raw``
+    otherwise; exactness caveat: scores are exact, the top-k SET is
+    approximate (no k+1-bin guarantee across two scoring systems)."""
+    cap, d = E_q.shape
+    Q = q.shape[0]
+    _check_params(cap, block_rows, bin_width)
+    Qp = _round_up(Q, _LANE)
+    if Qp != Q:
+        q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
+    nb = cap // bin_width
+    qmax = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
+    q_i8 = jnp.clip(jnp.round(q / qmax * 127.0), -127, 127).astype(jnp.int8)
+    q_scale = (qmax / 127.0).reshape(1, Qp)
+    scales_bins = scales.reshape(nb, bin_width)
+
+    binmax = binmax_int8_call(
+        E_q, scales_bins, q_i8, q_scale, block_rows, bin_width, interpret
+    ).T  # (Qp, nb)
+    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
+    dead = bin_base >= count
+    straddle = (bin_base < count) & (bin_base + bin_width > count)
+    bm = jnp.where(dead[None, :], _NEG_INF, binmax)
+    bm = jnp.where(straddle[None, :], jnp.inf, bm)
+    kb = min(k + 1 + _MARGIN_BINS + extra_bins, nb)
+    bins = select_bins(bm, kb)
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
+    rid = (bins * bin_width)[:, :, None] + offs
+    rid_flat = rid.reshape(Qp, kb * bin_width)
+    slabs = E_master.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d)
+    q_r = _round_to_dtype_f32(q.astype(jnp.float32), E_master.dtype)
+    scores = jnp.einsum(
+        "qd,qkbd->qkb", q_r, slabs.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(Qp, kb * bin_width)
+    scores = jnp.where(rid_flat < count, scores, _NEG_INF)
+    vals, ids = _select_topk(scores, rid_flat, k)
+    return vals[:Q], ids[:Q]
+
+
 def twopass_topk_int8(E_q, scales, count, q, k: int, block_rows: int = 4096,
                       bin_width=None):
     """int8-index two-pass top-k; drop-in for
@@ -486,7 +552,10 @@ def refine_against_master(E, q, rows, k: int):
     int8 rounding, and returned similarities match the exact tiers'."""
     safe = jnp.maximum(rows, 0)
     cand = E[safe].astype(jnp.float32)  # (Q, kf, d) — tiny
-    scores = jnp.einsum("qd,qcd->qc", q.astype(jnp.float32), cand,
+    # q rounds to the master dtype so similarities match the exact
+    # tiers' scoring convention bit-for-bit (see _round_to_dtype_f32)
+    q_r = _round_to_dtype_f32(q.astype(jnp.float32), E.dtype)
+    scores = jnp.einsum("qd,qcd->qc", q_r, cand,
                         preferred_element_type=jnp.float32)
     scores = jnp.where(rows >= 0, scores, _NEG_INF)
     ids = jnp.where(rows >= 0, rows, _BIG_I32)

@@ -496,10 +496,18 @@ def ivf2_search_core(
         # tail-only: scores are already master-exact
         vals, ids = _select_topk(tail_v, tail_i, min(k, tail_v.shape[1]))
     else:
+        from modular_rag_system_tpu.ops.binmax_topk import _round_to_dtype_f32
+
         ids_all = jnp.concatenate(cand_i, axis=1)  # (Q, kf [+ kt])
         safe = jnp.clip(ids_all, 0, E_master.shape[0] - 1)
         rows = E_master[safe].astype(jnp.float32)  # (Q, c, d) — tiny
-        scores = jnp.einsum("qd,qcd->qc", q, rows,
+        # round q to the master dtype so scores match the exact tiers'
+        # convention BIT-FOR-BIT (the exact kernel's pass 2 scores
+        # bf16-rounded q x bf16 rows in f32); raw-f32 q here flipped
+        # ~0.5% of near-tie top-10 memberships vs the exact kernel on
+        # clustered data — a constant recall deficit at every nprobe
+        q_r = _round_to_dtype_f32(q, E_master.dtype)
+        scores = jnp.einsum("qd,qcd->qc", q_r, rows,
                             preferred_element_type=jnp.float32)
         scores = jnp.where(ids_all < count, scores, _NEG_INF)
         vals, ids = _select_topk(scores, ids_all, k)

@@ -535,32 +535,33 @@ class ShardedIndex:
                     auto_bin_width,
                     int8_refine_kf,
                     refine_against_master,
-                    twopass_topk_int8_raw,
+                    twopass_topk_int8_master_raw,
                 )
                 from modular_rag_system_tpu.ops.fused_topk import _max_block_rows
 
-                # over-select by quantized score, then rescore the tiny
-                # candidate set against this shard's MASTER rows so the
-                # merged results carry master-exact similarities and
-                # recall is bounded by coverage, not int8 rounding
-                kf = int8_refine_kf(k, cap_s)
+                # merged results must carry MASTER-exact similarities
+                # (the ICI merge compares scores across shards): mixed
+                # two-pass when it pays — int8 pass-1 selects bins,
+                # pass-2 rescans this shard's master slabs — else int8
+                # over-select + a (Q, kf) master rescore
                 bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
-                        and cap_s // bw >= kf + 1):
+                        and cap_s // bw >= k + 1):
                     br = min(max(block_rows, 4096), cap_s,
                              _max_block_rows(E_s.shape[1], jnp.bfloat16))
-                    vals, loc = twopass_topk_int8_raw(
-                        E_s, scales_s.reshape(-1), count_s, q, kf, br, bw,
-                        interpret,
+                    vals, loc = twopass_topk_int8_master_raw(
+                        E_s, scales_s.reshape(-1), master_s[0], count_s,
+                        q, k, br, bw, interpret,
                     )
                 else:
+                    kf = int8_refine_kf(k, cap_s)
                     vals, loc = fused_topk_int8_raw(
                         E_s, scales_s, count_s, q, kf, block_rows, interpret,
                         bin_width=bin_width,
                     )
-                if kf > k:
-                    vals, loc = refine_against_master(
-                        master_s[0], q, loc, k)
+                    if kf > k:
+                        vals, loc = refine_against_master(
+                            master_s[0], q, loc, k)
             else:
                 raise ValueError(f"unknown tier {tier!r}")
             gids = loc * S + s

@@ -267,3 +267,53 @@ def test_twopass_group_selection_end_to_end(rng):
         order = np.lexsort((np.arange(cap), -ref[i]))[:k]
         np.testing.assert_array_equal(ids[i], order)
         np.testing.assert_allclose(vals[i], ref[i][order], rtol=1e-5)
+
+
+def test_twopass_int8_master_scores_exact(rng):
+    """Mixed path (r3.2): int8 pass-1 selects bins, pass-2 rescans the
+    MASTER — returned scores must be bit-identical to the exact kernel's
+    for every hit, and recall near-exact on well-separated data."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.binmax_topk import (
+        twopass_topk_int8_master_raw,
+    )
+    from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+    from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+    E = _mat(rng, 8192)
+    Ej = jnp.asarray(E)
+    E_q, scales = quantize_rows(Ej)
+    q = jnp.asarray(_mat(rng, 5))
+    for count in (8192, 5001):
+        v, i = twopass_topk_int8_master_raw(
+            E_q, scales.reshape(-1), Ej, jnp.int32(count), q, 10, 2048,
+            32, _use_interpret())
+        ve, ie = exact_topk(Ej, jnp.int32(count), q, 10)
+        vn, inn = np.asarray(v), np.asarray(i)
+        ven, ien = np.asarray(ve), np.asarray(ie)
+        for r in range(5):
+            hits = set(inn[r]) & set(ien[r])
+            assert len(hits) >= 9  # coverage-bound, near-exact here
+            # master-exact similarity for every returned row
+            ref = {int(ien[r][j]): ven[r][j] for j in range(10)}
+            for j in range(10):
+                if int(inn[r][j]) in ref:
+                    np.testing.assert_allclose(
+                        vn[r][j], ref[int(inn[r][j])], rtol=0, atol=0)
+
+
+def test_device_index_int8_uses_master_scores(rng):
+    """The int8 TIER returns master-precision similarities (not int8
+    approximations): scores of returned rows match the exact tier's."""
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    E = _mat(rng, 8192, 128)
+    idx = DeviceIndex(dim=128, capacity=8192, tier="int8")
+    idx.add(E)
+    q = _mat(rng, 3, 128)
+    sv, sr = idx.search(q, 5)
+    ref = q @ E.T
+    for r in range(3):
+        np.testing.assert_allclose(
+            sv[r], ref[r][sr[r]], rtol=1e-5, atol=1e-5)

@@ -146,16 +146,17 @@ def main() -> int:
     QS = jnp.asarray(rng.standard_normal((M_HI, Q, d)).astype(np.float32))
     np.asarray(jnp.sum(QS))
 
+    # round 2 of the sweep: the kf dimension is FLAT (measured 0.9867 /
+    # 0.9953 at every refine_extra in {k..15k} — fine-ranking noise is
+    # NOT the recall limiter, and kf craters QPS at ~linear select
+    # cost), so probe the q-rounding fix + whether a SMALLER kf pays
     out = []
-    for nprobe in (1, 2):
-        for extra in (k, 3 * k, 7 * k, 15 * k):
+    for nprobe in (1, 2, 4):
+        for extra in (0, k):
             rec, search = run(nprobe, extra)
             row = {"nprobe": nprobe, "refine_extra": extra,
                    "recall_at_10": round(rec, 4)}
-            # time the candidate production points only (kernel cost is
-            # linear in kf; no need to time every grid cell)
-            if on_tpu and (nprobe, extra) in ((1, k), (1, 3 * k),
-                                              (1, 7 * k), (2, 3 * k)):
+            if on_tpu and nprobe == 1:
                 dt = slope_time(search, QS)
                 row["qps"] = round(Q / dt, 1)
                 row["ms_per_batch"] = round(dt * 1e3, 2)
