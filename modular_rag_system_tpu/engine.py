@@ -95,6 +95,7 @@ class RAGEngine:
                 ivf_fine_dtype=self.config.index.ivf_fine_dtype,
                 ivf_tail_frac=self.config.index.ivf_tail_frac,
                 ivf_rebuild_min=self.config.index.ivf_rebuild_min,
+                ivf_refine_extra=self.config.index.ivf_refine_extra,
             )
         else:
             self.index = DeviceIndex(
@@ -110,6 +111,7 @@ class RAGEngine:
                 ivf_fine_dtype=self.config.index.ivf_fine_dtype,
                 ivf_tail_frac=self.config.index.ivf_tail_frac,
                 ivf_rebuild_min=self.config.index.ivf_rebuild_min,
+                ivf_refine_extra=self.config.index.ivf_refine_extra,
             )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size
@@ -698,6 +700,7 @@ class RAGEngine:
                 ivf_fine_dtype=self.index.ivf_fine_dtype,
                 ivf_tail_frac=self.index.ivf_tail_frac,
                 ivf_rebuild_min=self.index.ivf_rebuild_min,
+                ivf_refine_extra=self.index.ivf_refine_extra,
             )
         else:
             self.index = DeviceIndex(
@@ -713,6 +716,7 @@ class RAGEngine:
                 ivf_fine_dtype=self.index.ivf_fine_dtype,
                 ivf_tail_frac=self.index.ivf_tail_frac,
                 ivf_rebuild_min=self.index.ivf_rebuild_min,
+                ivf_refine_extra=self.index.ivf_refine_extra,
             )
         if len(live_old):
             self.index.add(live_emb)
@@ -761,6 +765,7 @@ class RAGEngine:
                     ivf_fine_dtype=self.index.ivf_fine_dtype,
                     ivf_tail_frac=self.index.ivf_tail_frac,
                     ivf_rebuild_min=self.index.ivf_rebuild_min,
+                    ivf_refine_extra=self.index.ivf_refine_extra,
                 )
             else:
                 self.index = DeviceIndex(
@@ -776,6 +781,7 @@ class RAGEngine:
                     ivf_fine_dtype=self.index.ivf_fine_dtype,
                     ivf_tail_frac=self.index.ivf_tail_frac,
                     ivf_rebuild_min=self.index.ivf_rebuild_min,
+                    ivf_refine_extra=self.index.ivf_refine_extra,
                 )
             self.index.add(mat)
             if tombstones:

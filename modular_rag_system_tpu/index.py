@@ -58,6 +58,7 @@ class DeviceIndex:
         ivf_fine_dtype: str = "auto",
         ivf_tail_frac: float = 0.25,
         ivf_rebuild_min: int = 32768,
+        ivf_refine_extra: Optional[int] = None,
     ) -> None:
         """``store_dtype="bfloat16"`` halves the master matrix's HBM
         footprint (10M x 384 fits one v5e chip at 7.7 GB vs 15.4 GB f32);
@@ -96,6 +97,7 @@ class DeviceIndex:
         self.ivf_fine_dtype = ivf_fine_dtype
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
+        self.ivf_refine_extra = ivf_refine_extra
         self.ivf_rebuilds = 0
         self._ivf2 = None
         # compiled search programs, keyed by (Q, k) + search_token()
@@ -268,7 +270,7 @@ class DeviceIndex:
         if self.tier == "ivf" and self._ivf2 is not None:
             iv = self._ivf2
             t += ("ivf2", iv.version, iv.fine_dtype, self._ivf_tail_max(),
-                  self.ivf_nprobe)
+                  self.ivf_nprobe, self.ivf_refine_extra)
         return t
 
     def search_core(self, k: int):
@@ -318,7 +320,8 @@ class DeviceIndex:
             tail_max = self._ivf_tail_max()
             inner = functools.partial(
                 ivf2_ops.ivf2_search_core, k=k, nprobe=nprobe, L=L,
-                tail_max=tail_max, U=U, interpret=_use_interpret())
+                tail_max=tail_max, U=U, interpret=_use_interpret(),
+                refine_extra=self.ivf_refine_extra)
 
             def core(ops, count, q):
                 E, E_c3, sc3, perm, cents, bs, nb, cn, built = ops
@@ -415,7 +418,8 @@ class DeviceIndex:
     def load(cls, path: str, tier: str = "exact", block_rows: int = 1024,
              fused_bin_width: Optional[int] = None,
              ivf_clusters: Optional[int] = None, ivf_nprobe: int = 8,
-             ivf_iters: int = 10) -> "DeviceIndex":
+             ivf_iters: int = 10,
+             ivf_refine_extra: Optional[int] = None) -> "DeviceIndex":
         data = np.load(path)
         dim = int(data["dim"])
         count = int(data["count"])
@@ -423,7 +427,8 @@ class DeviceIndex:
         idx = cls(dim=dim, capacity=max(count, 4096), tier=tier,
                   block_rows=block_rows, store_dtype=store_dtype,
                   fused_bin_width=fused_bin_width, ivf_clusters=ivf_clusters,
-                  ivf_nprobe=ivf_nprobe, ivf_iters=ivf_iters)
+                  ivf_nprobe=ivf_nprobe, ivf_iters=ivf_iters,
+                  ivf_refine_extra=ivf_refine_extra)
         if count:
             idx.add(snapshot_embeddings(data)[:count])
         return idx

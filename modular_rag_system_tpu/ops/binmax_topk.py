@@ -458,7 +458,8 @@ _INT8_MIXED_EXTRA_BINS = 2
 def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
                                  block_rows: int, bin_width: int,
                                  interpret: bool,
-                                 extra_bins: int = _INT8_MIXED_EXTRA_BINS):
+                                 extra_bins: int = _INT8_MIXED_EXTRA_BINS,
+                                 kernel_rescan: bool = False):
     """Mixed two-pass: int8 pass-1 selects bins, pass-2 rescans the
     MASTER matrix — returned scores are master-exact.
 
@@ -497,6 +498,15 @@ def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
     kb = min(k + 1 + _MARGIN_BINS + extra_bins, nb)
     bins = select_bins(bm, kb)
+
+    if kernel_rescan:
+        # Pallas pass-2: per-query scalar-prefetched slab DMAs from the
+        # MASTER at streaming bandwidth (same kernel as the exact path's
+        # optional rescan; scores use the identical in-kernel q cast)
+        count32 = jnp.asarray(count, jnp.int32)
+        vals, ids = rescan_call(E_master, bins, count32, q, k, bin_width,
+                                interpret)
+        return vals[:Q], ids[:Q]
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
     rid = (bins * bin_width)[:, :, None] + offs

@@ -67,6 +67,7 @@ class ShardedIndex:
         ivf_fine_dtype: str = "auto",
         ivf_tail_frac: float = 0.25,
         ivf_rebuild_min: int = 32768,
+        ivf_refine_extra: Optional[int] = None,
     ) -> None:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
@@ -128,6 +129,7 @@ class ShardedIndex:
         self.ivf_fine_dtype = ivf_fine_dtype
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
+        self.ivf_refine_extra = ivf_refine_extra
         self.ivf_rebuilds = 0
         self._ivf2 = None
 
@@ -423,6 +425,7 @@ class ShardedIndex:
         iv = self._ivf2
         S, axis, mesh = self.S, self.axis, self.mesh
         nprobe = min(self.ivf_nprobe, iv.counts.shape[1])
+        refine_extra = self.ivf_refine_extra
         U = 4
         L = max(int(np.sort(iv.nblk_h, axis=1)[:, ::-1][:, :nprobe].sum(axis=1).max()), 1)
         L = ((L + U - 1) // U) * U
@@ -442,7 +445,8 @@ class ShardedIndex:
                 vals, lrow = ivf2_search_core(
                     E_blk[0], Ec[0], sc[0], pm[0], cents, bs[0], nb[0],
                     cn[0], built_s, count_s, q, k=k, nprobe=nprobe, L=L,
-                    tail_max=tail_s, U=U, interpret=interpret)
+                    tail_max=tail_s, U=U, interpret=interpret,
+                    refine_extra=refine_extra)
                 gids = jnp.where(lrow >= 0, lrow * S + sid,
                                  np.int32(2**31 - 1))
                 vals = jnp.where(lrow >= 0, vals, -jnp.inf)
@@ -661,7 +665,7 @@ class ShardedIndex:
         if tier == "ivf":
             iv = self._ivf2
             t += (iv.version, iv.fine_dtype, self._ivf_tail_s(),
-                  self.ivf_nprobe)
+                  self.ivf_nprobe, self.ivf_refine_extra)
         return t
 
     def search_core(self, Qp: int, k: int):
@@ -824,7 +828,8 @@ class ShardedIndex:
     @classmethod
     def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024,
              fused_bin_width=None, ivf_clusters: Optional[int] = None,
-             ivf_nprobe: int = 8, ivf_iters: int = 10):
+             ivf_nprobe: int = 8, ivf_iters: int = 10,
+             ivf_refine_extra: Optional[int] = None):
         from modular_rag_system_tpu.index import snapshot_embeddings
 
         data = np.load(path)
@@ -840,6 +845,7 @@ class ShardedIndex:
             ivf_clusters=ivf_clusters,
             ivf_nprobe=ivf_nprobe,
             ivf_iters=ivf_iters,
+            ivf_refine_extra=ivf_refine_extra,
         )
         if int(data["count"]):
             idx.add(np.asarray(

@@ -505,7 +505,7 @@ def test_tier_config_survives_compact_and_reembed(fake_config):
     for shards in (1, 8):
         cfg = fake_config.merged({
             "index": {"tier": "ivf", "ivf_clusters": 8, "ivf_nprobe": 3,
-                      "ivf_iters": 4},
+                      "ivf_iters": 4, "ivf_refine_extra": 7},
             "mesh": {"index_shards": shards},
         })
         eng = RAGEngine(cfg)
@@ -517,6 +517,7 @@ def test_tier_config_survives_compact_and_reembed(fake_config):
                 assert eng.index.ivf_clusters == 8, where
                 assert eng.index.ivf_nprobe == 3, where
                 assert eng.index.ivf_iters == 4, where
+                assert eng.index.ivf_refine_extra == 7, where
 
             chk("init")
             eng.compact()

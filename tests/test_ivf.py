@@ -222,3 +222,28 @@ def test_ivf2_perm_covers_every_row_once(rng):
         assert i in got[i]
 
 
+
+
+def test_ivf_refine_extra_knob(rng):
+    """ivf_refine_extra=0 (throughput point: fine top-k = k, no
+    over-selection) searches correctly; the knob keys the program cache
+    so a live change recompiles instead of serving the stale width."""
+    E = normalized(rng, 2000, 64)
+    idx = DeviceIndex(dim=64, tier="ivf", ivf_clusters=16, ivf_nprobe=16,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16",
+                      ivf_refine_extra=0)
+    idx.add(E)
+    q = normalized(rng, 3, 64)
+    scores, rows = idx.search(q, 5)
+    assert rows.shape == (3, 5) and (rows >= 0).all()
+    # full-nprobe coverage with extra=0 still finds the true top rows on
+    # this small corpus (candidates = fine top-5 of every probed cluster)
+    exact = DeviceIndex(dim=64, tier="exact")
+    exact.add(E)
+    _, ref_rows = exact.search(q, 5)
+    hits = np.mean([len(set(rows[i]) & set(ref_rows[i])) / 5
+                    for i in range(3)])
+    assert hits >= 0.6
+    tok0 = idx.search_token()
+    idx.ivf_refine_extra = 10
+    assert idx.search_token() != tok0
