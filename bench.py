@@ -237,19 +237,29 @@ def main() -> int:
     cpu_dt_full = cpu_dt_sub * (N / sub)  # brute force is linear in N
     cpu_qps = Q / cpu_dt_full
 
+    # headline: the int8 TIER path (int8 pass-1 + master-slab pass-2) —
+    # master-exact scores, recall 1.0 at the default margin, and the
+    # fastest serving config at 1M x 384 (r3.3: 163.8k QPS vs 126.6k
+    # bf16-exact at Q=256; Q>256 batches chunk in-trace so the rate
+    # holds at any batch size — tools/exp_q_scaling.py)
+    head_qps, head_dt, head_recall = (
+        (Q / dt_i8, dt_i8, recall_i8) if on_tpu else (qps, dt, recall))
     result = {
-        "metric": "QPS/chip at recall@10, 1M-chunk bf16 two-pass exact index"
+        "metric": "QPS/chip at recall@10, 1M-chunk int8-tier "
+                  "(master-exact mixed two-pass) index"
         if on_tpu
         else "QPS at recall@10 (CPU smoke, 64k chunks)",
-        "value": round(qps, 1),
+        "value": round(head_qps, 1),
         "unit": "QPS",
-        "vs_baseline": round(qps / cpu_qps, 1),
-        "recall_at_10": round(recall, 4),
-        "p50_batch_ms": round(dt * 1000, 3),
+        "vs_baseline": round(head_qps / cpu_qps, 1),
+        "recall_at_10": round(head_recall, 4),
+        "p50_batch_ms": round(head_dt * 1000, 3),
         "corpus": N,
         "dim": d,
         "query_batch": Q,
         "cpu_baseline_qps": round(cpu_qps, 2),
+        "bf16_exact_q256_qps": round(qps, 1),
+        "bf16_exact_recall_at_10": round(recall, 4),
         "q128_qps": round(Q1 / dt128, 1),
         "int8_q256_qps": round(Q / dt_i8, 1),
         "int8_recall_at_10": round(recall_i8, 4),
@@ -257,6 +267,7 @@ def main() -> int:
         "semantic_hardness": sem_hardness,
         "singlepass_q128_qps": round(Q1 / fused_dt, 1),
         "effective_gbps": round(N * d * 2 / dt / 1e9, 1),
+        "int8_effective_gbps": round(N * d * 1 / dt_i8 / 1e9, 1),
         "timing": "chained-scan slope (relay RTT cancels)",
         "backend": jax.default_backend(),
     }

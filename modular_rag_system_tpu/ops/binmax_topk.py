@@ -16,8 +16,9 @@ Replacing the reference's brute-force scoring loop
   live and garbage rows, so it must always be rescanned), and take the
   top-(k+1) bins per query.
 * **Pass 2**: gather the winning bins as contiguous (bin_width, d) slabs
-  and rescore exactly, tie-breaking by smallest global id via the same
-  ``_select_topk`` used everywhere else (keeps multi-shard merges stable).
+  (sorted ascending) and rescore exactly; the final top-k is ONE
+  positional ``lax.top_k`` whose lowest-position tie-break equals the
+  smallest-global-id tie order (keeps multi-shard merges stable).
 
 Exactness: the k largest bin-maxima bins contain every row whose score
 ties or beats the kth-largest — each such row's own bin-max ties or beats
@@ -72,8 +73,32 @@ _LANE = 128
 # coincidence) at ~9% extra pass-2 slab traffic for k=10 (ADVICE r2).
 _MARGIN_BINS = 1
 
-# Bin-selection group size for the two-level pruned top-k below.
+# Bin-selection group/subgroup sizes for the three-level pruned top-k
+# below.
 _GROUP = 512
+_SUB = 32
+
+# Throughput-optimal query-batch size.  Per-query cost grows
+# SUPER-linearly past it (measured int8-mixed at 1M x 384: 6.1 us/query
+# at Q=256, 7.2 at Q=512, 7.7 at Q=1024 — tools/exp_q_scaling.py), so
+# larger batches are split into _CHUNK_Q-query chunks inside the traced
+# program with lax.map (one compile, on-device loop): Q=1024 then runs
+# at Q=256's 164k QPS instead of 130k.
+_CHUNK_Q = 256
+
+
+def _chunked_q(raw_fn, q, Q: int, k: int):
+    """Split a padded (Qp, d) query batch into _CHUNK_Q chunks and run
+    ``raw_fn`` (a self-call of the caller) over them with ``lax.map``.
+    Returns None if Qp doesn't chunk evenly (caller runs unchunked)."""
+    Qp = _round_up(Q, _LANE)
+    if Qp <= _CHUNK_Q or Qp % _CHUNK_Q:
+        return None
+    if Qp != Q:
+        q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
+    qc = q.reshape(Qp // _CHUNK_Q, _CHUNK_Q, q.shape[1])
+    vals, ids = jax.lax.map(raw_fn, qc)
+    return vals.reshape(Qp, k)[:Q], ids.reshape(Qp, k)[:Q]
 
 
 def select_bins(bm, kb: int):
@@ -81,16 +106,28 @@ def select_bins(bm, kb: int):
 
     Direct ``lax.top_k`` over nb = cap/bin_width bins is the stage that
     made end-to-end QPS regress with Q (measured 0.45 ms of the 2.4 ms
-    Q=256 batch at 1M rows).  Two levels instead:
+    Q=256 batch at 1M rows).  Two levels, both plain ``lax.top_k``:
 
-    1. group maxima (nb/_GROUP groups) -> top-(kb+2) groups.  Any bin in
-       the true top-kb has a group max >= the kb-th bin value, and fewer
-       than kb groups can beat that value (each would contribute a
-       better bin), so the true top-kb bins all live in the selected
-       groups; +2 margin absorbs exact ties at the group boundary.
-    2. an id-stable ``_select_topk`` over the surviving kg * _GROUP
-       candidates restores the lowest-bin-id tie order a direct top_k
-       would have produced (group order ranks by max, not id).
+    1. group maxima (nb/_GROUP groups) -> top-(kb+2) groups, SORTED by
+       group id.
+    2. ``lax.top_k`` over the gathered kg * _GROUP candidates, mapped
+       back to global bin ids arithmetically.
+
+    Exactness under ties (the r3.3 redesign, A/B'd in
+    ``tools/exp_select_bins.py``): because the surviving groups are
+    sorted ascending, candidate POSITIONS ascend in global bin id, and
+    ``lax.top_k`` breaks value ties by lowest position — which is then
+    exactly the lowest-bin-id tie order.  At level 1 the same holds in
+    natural group order: a group tied at the kb-th boundary value with
+    a lower id contains a lower-id bin at that value, which the
+    lowest-id tie order ranks into the true top-kb first, so every
+    boundary-tied group that matters wins its tie (the +2 margin is
+    kept as a belt anyway).  This replaced the k-step iterative
+    ``_select_topk`` over the candidates: at widths in the thousands a
+    single sort-unit top_k beats the 14-pass max+where loop (measured
+    0.441 vs 0.499 ms at Qp=256, nb=32768), and per-op dispatch
+    overhead punishes anything with more stages (a three-level variant
+    measured 0.618 ms, an iterative two-level 0.704 ms).
     """
     Qp, nb = bm.shape
     if nb % _GROUP or nb // _GROUP <= kb + 2:
@@ -101,13 +138,33 @@ def select_bins(bm, kb: int):
     gmax = jnp.max(g3, axis=2)
     kg = min(kb + 2, G)
     _, gsel = jax.lax.top_k(gmax, kg)  # (Qp, kg)
+    gsel = jnp.sort(gsel, axis=1)  # ascending id -> exact tie order below
     cand_v = jnp.take_along_axis(g3, gsel[:, :, None], axis=1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _GROUP), 2)
-    cand_b = gsel[:, :, None] * _GROUP + iota
-    _, bins = _select_topk(
-        cand_v.reshape(Qp, kg * _GROUP), cand_b.reshape(Qp, kg * _GROUP), kb
-    )
-    return bins
+    _, pos = jax.lax.top_k(cand_v.reshape(Qp, kg * _GROUP), kb)
+    return jnp.take_along_axis(gsel, pos // _GROUP, axis=1) * _GROUP \
+        + pos % _GROUP
+
+
+def _sorted_slab_ids(bins, bin_width: int):
+    """Sort candidate bins ascending and expand to per-row global ids.
+
+    With ascending bins, ``rid_flat`` ascends with candidate POSITION, so
+    a plain ``lax.top_k`` over the rescored candidates (ties -> lowest
+    position) IS the lowest-global-id tie order — replacing the k-pass
+    iterative ``_select_topk`` tail (measured 0.843 -> 0.694 ms for the
+    full pass 2 at Qp=256/kb=14, tools/exp_select_bins.py)."""
+    bins = jnp.sort(bins, axis=1)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
+    rid_flat = ((bins * bin_width)[:, :, None] + offs).reshape(
+        bins.shape[0], bins.shape[1] * bin_width)
+    return bins, rid_flat
+
+
+def _topk_by_position(scores, rid_flat, k: int):
+    """Top-k of ``scores`` with ids from ``rid_flat`` (must ascend along
+    positions — see ``_sorted_slab_ids``); ties by lowest global id."""
+    vals, pos = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(rid_flat, pos, axis=1)
 
 
 def _round_to_dtype_f32(x, dtype):
@@ -290,6 +347,12 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     cap, d = E.shape
     Q = q.shape[0]
     _check_params(cap, block_rows, bin_width)
+    chunked = _chunked_q(
+        lambda qq: twopass_topk_raw(E, count, qq, k, block_rows, bin_width,
+                                    interpret, kernel_rescan),
+        q, Q, k)
+    if chunked is not None:
+        return chunked
     Qp = _round_up(Q, _LANE)
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
@@ -309,19 +372,20 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
         vals, ids = rescan_call(E, bins, count32, q, k, bin_width, interpret)
         return vals[:Q], ids[:Q]
 
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
-    rid = (bins * bin_width)[:, :, None] + offs  # (Qp, kb, bw)
-    rid_flat = rid.reshape(Qp, kb * bin_width)
+    bins, rid_flat = _sorted_slab_ids(bins, bin_width)
     # slab-granularity gather: contiguous (bin_width, d) blocks DMA far
     # faster than per-row gathers (measured 84 GB/s vs ~20 GB/s)
     slabs = E.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d)
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), E.dtype)
+    # score in the STORE dtype with f32 accumulation: q_r is exactly
+    # representable in E.dtype and an 8-bit x 8-bit bf16 product is
+    # exact in f32, so values match the f32 einsum bit for bit
     scores = jnp.einsum(
-        "qd,qkbd->qkb", q_r, slabs.astype(jnp.float32),
+        "qd,qkbd->qkb", q_r.astype(E.dtype), slabs,
         preferred_element_type=jnp.float32,
     ).reshape(Qp, kb * bin_width)
     scores = jnp.where(rid_flat < count, scores, _NEG_INF)
-    vals, ids = _select_topk(scores, rid_flat, k)
+    vals, ids = _topk_by_position(scores, rid_flat, k)
     return vals[:Q], ids[:Q]
 
 
@@ -401,6 +465,12 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     cap, d = E_q.shape
     Q = q.shape[0]
     _check_params(cap, block_rows, bin_width)
+    chunked = _chunked_q(
+        lambda qq: twopass_topk_int8_raw(E_q, scales, count, qq, k,
+                                         block_rows, bin_width, interpret),
+        q, Q, k)
+    if chunked is not None:
+        return chunked
     Qp = _round_up(Q, _LANE)
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
@@ -424,9 +494,7 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     kb = min(k + 1 + _MARGIN_BINS, nb)
     bins = select_bins(bm, kb)
 
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
-    rid = (bins * bin_width)[:, :, None] + offs
-    rid_flat = rid.reshape(Qp, kb * bin_width)
+    bins, rid_flat = _sorted_slab_ids(bins, bin_width)
     slabs = E_q.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d) int8
     sl_scale = scales_bins[bins]  # (Qp, kb, bw)
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), jnp.bfloat16)
@@ -436,7 +504,7 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     ) * sl_scale
     scores = scores.reshape(Qp, kb * bin_width)
     scores = jnp.where(rid_flat < count, scores, _NEG_INF)
-    vals, ids = _select_topk(scores, rid_flat, k)
+    vals, ids = _topk_by_position(scores, rid_flat, k)
     return vals[:Q], ids[:Q]
 
 
@@ -479,6 +547,13 @@ def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
     cap, d = E_q.shape
     Q = q.shape[0]
     _check_params(cap, block_rows, bin_width)
+    chunked = _chunked_q(
+        lambda qq: twopass_topk_int8_master_raw(
+            E_q, scales, E_master, count, qq, k, block_rows, bin_width,
+            interpret, extra_bins, kernel_rescan),
+        q, Q, k)
+    if chunked is not None:
+        return chunked
     Qp = _round_up(Q, _LANE)
     if Qp != Q:
         q = jnp.pad(q, ((0, Qp - Q), (0, 0)))
@@ -508,17 +583,17 @@ def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
                                 interpret)
         return vals[:Q], ids[:Q]
 
-    offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bin_width), 2)
-    rid = (bins * bin_width)[:, :, None] + offs
-    rid_flat = rid.reshape(Qp, kb * bin_width)
+    bins, rid_flat = _sorted_slab_ids(bins, bin_width)
     slabs = E_master.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d)
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), E_master.dtype)
+    # store-dtype scoring with f32 accumulation — bit-identical to the
+    # f32 einsum for bf16 operands (see twopass_topk_raw)
     scores = jnp.einsum(
-        "qd,qkbd->qkb", q_r, slabs.astype(jnp.float32),
+        "qd,qkbd->qkb", q_r.astype(E_master.dtype), slabs,
         preferred_element_type=jnp.float32,
     ).reshape(Qp, kb * bin_width)
     scores = jnp.where(rid_flat < count, scores, _NEG_INF)
-    vals, ids = _select_topk(scores, rid_flat, k)
+    vals, ids = _topk_by_position(scores, rid_flat, k)
     return vals[:Q], ids[:Q]
 
 

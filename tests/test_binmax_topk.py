@@ -226,23 +226,27 @@ def test_kernel_rescan_matches_slab_gather(rng):
 
 
 def test_select_bins_group_path_matches_direct(rng):
-    """The two-level group-pruned bin selection (taken when nb/_GROUP >
-    kb+2) must reproduce direct lax.top_k's result including the
-    lowest-bin-id tie order."""
+    """The three-level group/subgroup-pruned bin selection (taken when
+    nb/_GROUP > kb+2) must reproduce direct lax.top_k's result including
+    the lowest-bin-id tie order, even under mass ties that straddle the
+    kb-th boundary across many groups/subgroups.  nb=16*_GROUP barely
+    prunes at the group level; nb=80*_GROUP prunes hard at both levels."""
     import jax
     import jax.numpy as jnp
 
     from modular_rag_system_tpu.ops.binmax_topk import _GROUP, select_bins
 
-    Qp, nb, kb = 8, 16 * _GROUP, 12
-    bm = rng.standard_normal((Qp, nb)).astype(np.float32)
-    # mass ties: quantize to a few levels so boundary ties are common
-    bm = np.round(bm * 2) / 2
-    got = np.asarray(select_bins(jnp.asarray(bm), kb))
-    # direct reference with id tie-break: sort by (-value, id)
-    for q in range(Qp):
-        order = np.lexsort((np.arange(nb), -bm[q]))[:kb]
-        np.testing.assert_array_equal(np.sort(got[q]), np.sort(order))
+    for mult in (16, 80):
+        Qp, nb, kb = 8, mult * _GROUP, 12
+        bm = rng.standard_normal((Qp, nb)).astype(np.float32)
+        # mass ties: quantize to a few levels so boundary ties are common
+        bm = np.round(bm * 2) / 2
+        got = np.asarray(select_bins(jnp.asarray(bm), kb))
+        # direct reference with id tie-break: sort by (-value, id)
+        for q in range(Qp):
+            order = np.lexsort((np.arange(nb), -bm[q]))[:kb]
+            np.testing.assert_array_equal(np.sort(got[q]), np.sort(order),
+                                          err_msg=f"nb={nb} q={q}")
 
 
 def test_twopass_group_selection_end_to_end(rng):

@@ -75,10 +75,13 @@ def main() -> int:
         q_scale = (qmax / 127.0).reshape(1, Qp)
         return qq, q_i8, q_scale
 
-    def masked_bm(qq):
+    def masked_bm(Eq, sc, qq):
+        # NOTE: operands must arrive as jit arguments — closing over the
+        # global device arrays bakes them into the HLO as constants and
+        # the remote compile service rejects the body (HTTP 413)
         qq, q_i8, q_scale = prep(qq)
         binmax = bt.binmax_int8_call(
-            E_q, scales_flat.reshape(nb, bw), q_i8, q_scale, br, bw, interp
+            Eq, sc.reshape(nb, bw), q_i8, q_scale, br, bw, interp
         ).T
         bin_base = jnp.arange(nb, dtype=jnp.int32) * bw
         dead = bin_base >= cnt
@@ -94,7 +97,7 @@ def main() -> int:
                 jnp.zeros((1, 1), jnp.int32))
 
     def s2(Eq, sc, E16_, qq):
-        bm, _ = masked_bm(qq)
+        bm, _ = masked_bm(Eq, sc, qq)
         Qp = bm.shape[0]
         G = nb // bt._GROUP
         g3 = bm.reshape(Qp, G, bt._GROUP)
@@ -104,9 +107,37 @@ def main() -> int:
         return jnp.mean(gv, keepdims=True)[:1, :1], gsel[:1, :1]
 
     def s3(Eq, sc, E16_, qq):
-        bm, _ = masked_bm(qq)
+        bm, _ = masked_bm(Eq, sc, qq)
         bins = bt.select_bins(bm, kb)
-        return jnp.zeros((1, 1), jnp.float32), bins[:1, :1]
+        # the chained-scan carry consumes only the VALUE output — derive
+        # it from bins or XLA dead-code-eliminates the whole stage
+        return jnp.mean(bins.astype(jnp.float32), keepdims=True)[:1, :1], \
+            bins[:1, :1]
+
+    def _bins_rid(Eq, sc, qq):
+        bm, qp = masked_bm(Eq, sc, qq)
+        bins = bt.select_bins(bm, kb)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bw), 2)
+        rid_flat = ((bins * bw)[:, :, None] + offs).reshape(
+            bm.shape[0], kb * bw)
+        return bins, rid_flat, qp
+
+    def s4a(Eq, sc, E16_, qq):
+        # + slab gather only (no scoring): isolates the gather DMA cost
+        bins, _, _ = _bins_rid(Eq, sc, qq)
+        slabs = E16_.reshape(nb, bw, d)[bins]
+        return (jnp.sum(slabs.astype(jnp.float32), axis=(1, 2, 3),
+                        keepdims=False).reshape(-1, 1)[:1, :1],
+                bins[:1, :1])
+
+    def s4b(Eq, sc, E16_, qq):
+        # + einsum scores (no top-k selection)
+        bins, rid_flat, qp = _bins_rid(Eq, sc, qq)
+        slabs = E16_.reshape(nb, bw, d)[bins]
+        q_r = bt._round_to_dtype_f32(qp.astype(jnp.float32), E16_.dtype)
+        scores = jnp.einsum("qd,qkbd->qkb", q_r, slabs.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        return jnp.mean(scores, keepdims=True)[:1, :1], bins[:1, :1]
 
     def s4(Eq, sc, E16_, qq):
         return bt.twopass_topk_int8_master_raw(
@@ -141,6 +172,7 @@ def main() -> int:
 
     out = {"rows": N, "Q": Q, "bin_width": bw, "kb": kb}
     stages = [("s1_pass1", s1), ("s2_groupsel", s2), ("s3_selectbins", s3),
+              ("s4a_gather", s4a), ("s4b_gather_einsum", s4b),
               ("s4_full_xla_pass2", s4), ("s5_full_kernel_pass2", s5)]
     for name, fn in stages:
         if not on_tpu and name in ("s1_pass1", "s2_groupsel", "s3_selectbins"):
