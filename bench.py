@@ -174,12 +174,22 @@ def main() -> int:
     else:
         recall_i8 = recall
 
-    # --- semantic quality at a non-saturating hardness (item 9) -------
-    # quick in-bench fine-tune on the hardness-0.6 paraphrase corpus:
-    # zero query/doc word overlap (lexical baselines ~chance) with
-    # shared alias/paraphrase word pools (near-alias distractors)
-    note("semantic eval (hardness 0.6)")
-    sem_hardness = 0.6
+    # --- semantic quality: recall CURVE vs distractor hardness --------
+    # (VERDICT r2 item 9) one in-bench fine-tune + eval per hardness
+    # level of the paraphrase corpus: zero query/doc word overlap
+    # (lexical baselines ~chance) with shared alias/paraphrase word
+    # pools whose size shrinks with hardness (near-alias distractors).
+    # The SCALAR reported is the mean over the curve — for it to
+    # saturate at 1.0 every level must saturate, so the metric stays
+    # strictly between chance and 1.0 and can catch regressions.
+    # train_frac=0.4: only 40% of (entity, relation) combinations are
+    # seen in training, so the eval demands compositional
+    # generalization — at 0.8 the trained encoder saturates every
+    # hardness (measured r3.4); the doc-side word pools (synth.py)
+    # additionally make distractor docs near-duplicates of the gold.
+    sem_levels = (0.6, 0.8, 0.95)
+    sem_train_frac = 0.4
+    sem_curve = {}
     try:
         import random as _random
 
@@ -191,35 +201,42 @@ def main() -> int:
         from modular_rag_system_tpu.models.train import ContrastiveTrainer
         from modular_rag_system_tpu.parallel.mesh import make_train_mesh
 
-        if on_tpu:
-            sem_kw = dict(dim=384, max_seq_len=16, batch_size=256,
-                          num_layers=4, num_heads=12, mlp_dim=1536,
-                          vocab_size=30522, dtype="float32")
-            sem_steps, sem_batch = 300, 128
-            sem_corpus = make_paraphrase_corpus(
-                n_entities=30, n_relations=20, seed=0,
-                hardness=sem_hardness)
-        else:
-            sem_kw = dict(dim=128, max_seq_len=12, batch_size=64,
-                          num_layers=2, num_heads=4, mlp_dim=256,
-                          vocab_size=4096, dtype="float32")
-            sem_steps, sem_batch = 120, 64
-            sem_corpus = make_paraphrase_corpus(
-                n_entities=12, n_relations=8, seed=0,
-                hardness=sem_hardness)
-        sem_enc = MiniLMEncoder(**sem_kw)
-        sem_mesh = make_train_mesh(1, 1)
-        sem_tr = ContrastiveTrainer(sem_enc, sem_mesh, learning_rate=1e-3)
-        sem_pairs = list(zip(
-            sem_corpus.train_queries,
-            [sem_corpus.docs[i] for i in sem_corpus.train_doc_idx]))
-        srng = _random.Random(1)
-        for _ in range(sem_steps):
-            sample = [sem_pairs[srng.randrange(len(sem_pairs))]
-                      for _ in range(sem_batch)]
-            sem_tr.step([a for a, _ in sample], [b for _, b in sample])
-        sem_tr.sync_encoder()
-        sem_recall = round(recall_at_k(sem_enc, sem_corpus, k), 4)
+        for sem_h in sem_levels:
+            note(f"semantic eval (hardness {sem_h})")
+            if on_tpu:
+                sem_kw = dict(dim=384, max_seq_len=16, batch_size=256,
+                              num_layers=4, num_heads=12, mlp_dim=1536,
+                              vocab_size=30522, dtype="float32")
+                sem_steps, sem_batch = 300, 128
+                sem_corpus = make_paraphrase_corpus(
+                    n_entities=40, n_relations=25, seed=0, hardness=sem_h,
+                    train_frac=sem_train_frac)
+            else:
+                sem_kw = dict(dim=128, max_seq_len=12, batch_size=64,
+                              num_layers=2, num_heads=4, mlp_dim=256,
+                              vocab_size=4096, dtype="float32")
+                sem_steps, sem_batch = 120, 64
+                sem_corpus = make_paraphrase_corpus(
+                    n_entities=12, n_relations=8, seed=0, hardness=sem_h,
+                    train_frac=sem_train_frac)
+            sem_enc = MiniLMEncoder(**sem_kw)
+            sem_mesh = make_train_mesh(1, 1)
+            sem_tr = ContrastiveTrainer(sem_enc, sem_mesh,
+                                        learning_rate=1e-3)
+            sem_pairs = list(zip(
+                sem_corpus.train_queries,
+                [sem_corpus.docs[i] for i in sem_corpus.train_doc_idx]))
+            srng = _random.Random(1)
+            for _ in range(sem_steps):
+                sample = [sem_pairs[srng.randrange(len(sem_pairs))]
+                          for _ in range(sem_batch)]
+                sem_tr.step([a for a, _ in sample], [b for _, b in sample])
+            sem_tr.sync_encoder()
+            sem_curve[str(sem_h)] = round(recall_at_k(sem_enc, sem_corpus,
+                                                      k), 4)
+        sem_recall = round(sum(sem_curve.values()) / len(sem_curve), 4)
+        sem_hardness = (f"mean over {list(sem_levels)} at "
+                        f"train_frac={sem_train_frac}")
     except Exception as exc:  # pragma: no cover - keep bench robust
         note(f"semantic eval failed: {exc}")
         sem_recall, sem_hardness = None, None
@@ -265,6 +282,7 @@ def main() -> int:
         "int8_recall_at_10": round(recall_i8, 4),
         "semantic_recall_at_10": sem_recall,
         "semantic_hardness": sem_hardness,
+        "semantic_recall_curve": sem_curve or None,
         "singlepass_q128_qps": round(Q1 / fused_dt, 1),
         "effective_gbps": round(N * d * 2 / dt / 1e9, 1),
         "int8_effective_gbps": round(N * d * 1 / dt_i8 / 1e9, 1),

@@ -169,6 +169,8 @@ def main() -> int:
         )
         curve.append({"nprobe": nprobe, "qps": round(Q / dt, 1),
                       "recall_at_10": round(recall, 4),
+                      "ms_per_batch": round(dt * 1e3, 2),
+                      "ms_per_query_amortized": round(dt * 1e3 / Q, 4),
                       "vs_exact": round(dt_exact / dt, 2)})
 
     print(json.dumps({
@@ -180,6 +182,7 @@ def main() -> int:
         "datagen_s": round(gen_s, 1),
         "build_s": round(build_s, 1),
         "exact_qps": round(Q / dt_exact, 1),
+        "exact_ms_per_batch": round(dt_exact * 1e3, 2),
         "curve": curve,
         "backend": jax.default_backend(),
     }))

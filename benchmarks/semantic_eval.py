@@ -33,6 +33,11 @@ def main() -> int:
                     help="comma list; word-pool sharing for near-alias "
                          "distractors (models/synth.py, VERDICT r2 item 9)")
     ap.add_argument("--facts-per-doc", type=int, default=1)
+    ap.add_argument("--train-frac", type=float, default=0.8,
+                    help="fraction of (entity, relation) combinations "
+                         "seen in training; lower = more compositional "
+                         "generalization demanded (the de-saturating "
+                         "lever — r3.4)")
     args = ap.parse_args()
     hardness_list = [float(h) for h in args.hardness.split(",")]
 
@@ -70,7 +75,8 @@ def main() -> int:
     def run_one(hardness: float):
         corpus = make_paraphrase_corpus(
             n_entities=n_entities, n_relations=n_relations, seed=0,
-            hardness=hardness, facts_per_doc=args.facts_per_doc)
+            hardness=hardness, facts_per_doc=args.facts_per_doc,
+            train_frac=args.train_frac)
         hash_rec = recall_at_k(FeatureHashEncoder(dim=enc_kw["dim"]), corpus, k)
         enc = MiniLMEncoder(**enc_kw)
         untrained_rec = recall_at_k(enc, corpus, k)

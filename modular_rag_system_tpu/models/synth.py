@@ -78,13 +78,17 @@ def make_paraphrase_corpus(
 
     * 0.0 — every alias/paraphrase word is globally unique (the r2
       corpus; trained encoders hit recall 1.0 at tested scales).
-    * > 0 — alias and query-phrasing words are drawn from SHARED pools
-      whose size shrinks with hardness, so different entities' aliases
-      collide on words (near-alias distractors) and different
-      relations' query phrasings overlap (same-entity/different-relation
-      confusion).  Query-vs-document vocabulary stays fully disjoint —
-      lexical matching still scores ~chance; hardness only makes the
-      SEMANTIC discrimination finer-grained.
+    * > 0 — alias/query-phrasing AND canonical-name/doc-phrasing words
+      are drawn from SHARED pools (one per slot) whose size shrinks
+      with hardness: different entities' aliases collide on words
+      (near-alias distractors), relations' phrasings overlap
+      (same-entity/different-relation confusion), and — r3.4 —
+      distractor DOCUMENTS become near-duplicates of the gold (same
+      words, different combination), so retrieval must make
+      fine-grained distinctions.  Query-vs-document vocabulary stays
+      fully disjoint (separate pools) — lexical matching still scores
+      ~chance; hardness only makes the SEMANTIC discrimination
+      finer-grained.
 
     ``facts_per_doc`` > 1 packs several different entities' facts into
     one document (multi-fact documents): the gold document for a query
@@ -103,6 +107,17 @@ def make_paraphrase_corpus(
 
     alias_pool = shared_pool(n_entities * name_words)
     qphr_pool = shared_pool(n_relations * phrase_words)
+    # hardness also collides the DOCUMENT side (r3.4): canonical names
+    # and doc phrasings draw from their own shared pools, so distractor
+    # documents become near-duplicates of the gold (same words, different
+    # combination) and retrieval must make fine-grained distinctions —
+    # without this, docs are globally unique-vocab and recall saturates
+    # at any corpus size the trainer can fit.  Query/doc vocabulary
+    # remains fully disjoint (separate pools).
+    cname_pool = shared_pool(n_entities * name_words)
+    dphr_pool = shared_pool(n_relations * phrase_words)
+    seen_cname: set = set()
+    seen_dphr: set = set()
 
     def draw(pool, n):
         if pool is None:
@@ -126,14 +141,14 @@ def make_paraphrase_corpus(
 
     entities = [
         (
-            " ".join(word() for _ in range(name_words)),
+            unique_draw(cname_pool, name_words, seen_cname),
             unique_draw(alias_pool, name_words, seen_alias),
         )
         for _ in range(n_entities)
     ]
     relations = [
         (
-            " ".join(word() for _ in range(phrase_words)),
+            unique_draw(dphr_pool, phrase_words, seen_dphr),
             unique_draw(qphr_pool, phrase_words, seen_qphr),
         )
         for _ in range(n_relations)

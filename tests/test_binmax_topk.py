@@ -321,3 +321,56 @@ def test_device_index_int8_uses_master_scores(rng):
     for r in range(3):
         np.testing.assert_allclose(
             sv[r], ref[r][sr[r]], rtol=1e-5, atol=1e-5)
+
+
+def test_twopass_chunked_large_batch_matches_exact(rng):
+    """Q > _CHUNK_Q batches split into in-trace lax.map chunks
+    (r3.3); results must equal the exact reference row for row, and a
+    Q whose 128-lane pad does NOT divide into chunks must take the
+    unchunked path with identical results."""
+    from modular_rag_system_tpu.ops.binmax_topk import _CHUNK_Q
+
+    E = _mat(rng, 8192, 64)
+    E[77] = E[7]  # a tie crossing chunk boundaries must stay stable
+    Ej = jnp.asarray(E).astype(jnp.bfloat16)
+    count = 8000
+    ve, ie = exact_topk(Ej.astype(jnp.float32), jnp.int32(count),
+                        jnp.asarray(_mat(rng, 1, 64)), 10)  # warm shapes
+
+    for Q in (2 * _CHUNK_Q, 300):  # 512 chunks; 300 pads to 384 (no)
+        q = _mat(rng, Q, 64)
+        q[Q - 1] = E[7]  # tie query in the LAST chunk
+        qj = jnp.asarray(q)
+        v2, i2 = twopass_topk_raw(Ej, jnp.int32(count), qj, 10, 2048, 32,
+                                  True)
+        # reference must score the same bf16-rounded query pass-2 uses
+        qr = qj.astype(jnp.bfloat16).astype(jnp.float32)
+        ve, ie = exact_topk(Ej.astype(jnp.float32), jnp.int32(count),
+                            qr, 10)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ie),
+                                      err_msg=f"Q={Q}")
+        assert list(np.asarray(i2)[Q - 1][:2]) == [7, 77]
+
+
+def test_twopass_int8_master_chunked_matches_unchunked(rng):
+    """The int8 mixed (master-rescore) path agrees chunked vs unchunked:
+    Q=512 run whole must equal the two Q=256 halves stacked."""
+    from modular_rag_system_tpu.ops.binmax_topk import (
+        _CHUNK_Q,
+        twopass_topk_int8_master_raw,
+    )
+    from modular_rag_system_tpu.ops.quantize import quantize_rows
+
+    E = _mat(rng, 8192, 64)
+    Em = jnp.asarray(E).astype(jnp.bfloat16)
+    E_q, scales = quantize_rows(jnp.asarray(E))
+    q = _mat(rng, 2 * _CHUNK_Q, 64)
+    qj = jnp.asarray(q)
+    run = lambda qq: twopass_topk_int8_master_raw(
+        E_q, scales, Em, jnp.int32(8192), qq, 10, 2048, 32, True)
+    v_all, i_all = run(qj)
+    for h in range(2):
+        vh, ih = run(qj[h * _CHUNK_Q:(h + 1) * _CHUNK_Q])
+        np.testing.assert_array_equal(
+            np.asarray(i_all)[h * _CHUNK_Q:(h + 1) * _CHUNK_Q],
+            np.asarray(ih), err_msg=f"half={h}")
