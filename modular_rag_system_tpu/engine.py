@@ -126,6 +126,9 @@ class RAGEngine:
         # dispatch per query batch instead of two (the ~1 ms relay
         # round-trip dominates single-query latency otherwise)
         self._fused_query_cache: Dict = {}
+        # cap on live fused encode+search programs (each closure pins a
+        # full encoder-params copy); eviction is insertion-order FIFO
+        self._FUSED_CACHE_MAX = 16
         # store.upsert + index.add must be atomic together: interleaved
         # writers would desynchronize store rows from index rows
         self._write_lock = threading.RLock()
@@ -391,6 +394,15 @@ class RAGEngine:
                          if kk[3] != id(params)]
                 for kk in stale:
                     del self._fused_query_cache[kk]
+                # bound the cache: search_token() bakes monotone index
+                # state (ivf build version, tail window, capacity), so
+                # under continuous ingest every rebuild / pow2 tail bump
+                # mints a new key and the superseded entry — which pins a
+                # full encoder-params copy in HBM — can never be hit
+                # again.  Evict in insertion order past the cap.
+                while len(self._fused_query_cache) >= self._FUSED_CACHE_MAX:
+                    oldest = next(iter(self._fused_query_cache))
+                    del self._fused_query_cache[oldest]
                 module = self.encoder.module
                 inner = (self.index.search_core(Qp, k) if sharded
                          else self.index.search_core(k))

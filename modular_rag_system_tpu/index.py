@@ -160,6 +160,9 @@ class DeviceIndex:
             )
             if self._ivf2 is not None:
                 self._ivf2.update_rows(rows, None)  # O(batch) scatter
+            # update-only workloads accumulate drift too: without this,
+            # stale_rows grows unbounded and the rebuild never fires
+            self._maybe_build_ivf2()
 
     def count_device(self) -> jax.Array:
         """Device-resident count scalar, cached: creating it per search
@@ -183,6 +186,7 @@ class DeviceIndex:
                 # O(batch) in-place sync; the row keeps its OLD cluster
                 # until the next rebuild (counted as drift)
                 self._ivf2.update_rows(rows, mat)
+            self._maybe_build_ivf2()
 
     # ------------------------------------------------------------------
     # derived tier maintenance (int8 / bf16 copies of E)

@@ -48,7 +48,10 @@ inline bool is_word_char(char c) {
 }
 
 inline bool is_space(char c) {
-    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+    // must match Python re \s (Unicode) on ASCII inputs: besides the C
+    // classics it treats the separator controls 0x1c-0x1f as whitespace
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+           c == '\v' || (c >= '\x1c' && c <= '\x1f');
 }
 
 // Emit the hash id of `piece` (with optional "##" prefix) via callback-free

@@ -491,7 +491,12 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     straddle = (bin_base < count) & (bin_base + bin_width > count)
     bm = jnp.where(dead[None, :], _NEG_INF, binmax)
     bm = jnp.where(straddle[None, :], jnp.inf, bm)
-    kb = min(k + 1 + _MARGIN_BINS, nb)
+    # pass-1 ranks bins with a QUANTIZED query while pass-2 (and the
+    # single-pass kernel this is a drop-in for) scores the f32 query:
+    # query-quantization error can mis-rank bins by ~0.3-0.5% relative —
+    # the same error class the mixed path covers — so scan the same
+    # extra bins, not just the ulp-level _MARGIN_BINS
+    kb = min(k + 1 + _MARGIN_BINS + _INT8_MIXED_EXTRA_BINS, nb)
     bins = select_bins(bm, kb)
 
     bins, rid_flat = _sorted_slab_ids(bins, bin_width)

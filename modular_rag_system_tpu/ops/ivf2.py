@@ -210,7 +210,11 @@ class IVF2:
         # corpora must never materialize a full-size f32 intermediate);
         # the layout is padded to a chunk multiple so ONE compiled chunk
         # program (traced offset) covers every step including the last
-        CHUNK_BLOCKS = 1024  # 256k rows -> ~400 MB f32 transient at d=384
+        # 1024 blocks = 256k rows -> ~400 MB f32 transient at d=384;
+        # clamped to the corpus size so a small build does not allocate
+        # a 1024-block (200 MB at d=384) minimum fine copy — padding
+        # waste stays < 2x at every scale
+        CHUNK_BLOCKS = min(1024, 1 << max(nblocks - 1, 1).bit_length())
         nblocks_pad = _cdiv(nblocks, CHUNK_BLOCKS) * CHUNK_BLOCKS
         block_cluster_h = np.full(nblocks_pad, C - 1, np.int32)
         block_cluster_h[:nblocks] = np.repeat(
@@ -414,6 +418,141 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
+# two-pass fine stage (r3.5): the single-pass kernel above pays a
+# kf-iteration ``_select_topk`` at EVERY grid step — including the dead
+# padding slots that dominate ``L`` (the max over queries) at low nprobe
+# on skewed clusters.  Binmax restructuring, same argument as
+# ops/binmax_topk: pass A computes only per-candidate-block MAXIMA
+# (dot + max, no selection), an XLA ``top_k`` picks the kb = kf + 1 + 1
+# best blocks per query (every true top-kf row lives in a block whose
+# max is >= the kf-th row score, and <= kf blocks can hold them, so
+# kf + 1 covers boundary ties; +1 margin mirrors the binmax kernel),
+# and pass B runs the selecting kernel over ONLY those kb real blocks.
+# Pass A and pass B score slabs with the same in-kernel dot, so the
+# candidate set is identical to the single-pass kernel's.
+
+def _fine_binmax_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, Lp: int,
+                        int8: bool):
+    tiles = rest[:U]
+    scs = rest[U:2 * U] if int8 else ()
+    base = 2 * U if int8 else U
+    bm_ref = rest[base]          # out (Q, Lp)
+    run_ref = rest[base + 1]     # scratch (1, Lp)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    Q, d = q_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        run_ref[:] = jnp.full_like(run_ref, _NEG_INF)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    onehot = (rows == i).astype(q_ref.dtype)
+    qi = jax.lax.dot_general(
+        onehot, q_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, d) f32
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    acc = run_ref[:]
+    for u in range(U):
+        tile = tiles[u][0]
+        s = jax.lax.dot_general(
+            qi.astype(jnp.bfloat16 if int8 else tile.dtype),
+            tile.astype(jnp.bfloat16) if int8 else tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, SLAB)
+        if int8:
+            s = s * scs[u][0]
+        vc = vcnt_ref[i, j * U + u]
+        s = jnp.where(iota_s < vc, s, _NEG_INF)
+        m = jnp.max(s)  # scalar block max (dead slot -> -inf)
+        acc = jnp.where(lane == j * U + u, m, acc)
+    run_ref[:] = acc
+
+    @pl.when(j == nj - 1)
+    def _():
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0) == i
+        bm_ref[:] = jnp.where(rowsel, jnp.broadcast_to(acc, (Q, Lp)),
+                              bm_ref[:])
+
+
+def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
+    """Per-query per-candidate-block maxima: (Q, L) f32 (-inf = dead)."""
+    nblocks, S, d = E_c3.shape
+    Q, L = blk.shape
+    assert L % U == 0
+    Lp = max(_cdiv(L, 128) * 128, 128)
+    int8 = E_c3.dtype == jnp.int8
+    kern = functools.partial(_fine_binmax_kernel, U=U, Lp=Lp, int8=int8)
+    tile_specs = [
+        pl.BlockSpec((1, SLAB, d),
+                     functools.partial(
+                         lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
+                     memory_space=pltpu.VMEM)
+        for uu in range(U)
+    ]
+    scale_specs = [
+        pl.BlockSpec((1, 1, SLAB),
+                     functools.partial(
+                         lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
+                     memory_space=pltpu.VMEM)
+        for uu in range(U)
+    ] if int8 else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Q, L // U),
+        in_specs=[pl.BlockSpec((Q, d), lambda i, j, b, v: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + tile_specs + scale_specs,
+        out_specs=pl.BlockSpec((Q, Lp), lambda i, j, b, v: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, Lp), jnp.float32)],
+    )
+    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
+    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
+    bm = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Q, Lp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * L * SLAB * d,
+            bytes_accessed=Q * L * SLAB * d * E_c3.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(blk, vcnt, *operands)
+    return bm[:, :L]
+
+
+# below this many grid steps the single-pass kernel wins (pass B alone
+# runs ~kb/U steps; two passes only pay off once L is clearly larger)
+_TWOPASS_MIN_SLACK = 2 * 4  # blocks
+
+
+def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
+                   interpret: bool):
+    """Dispatch between the single-pass kernel and the two-pass binmax
+    restructuring.  Same results either way (the kb = k + 2 block cover
+    is exact for top-k candidates; ties break identically because pass B
+    sees the same global slot ids)."""
+    Q, L = blk.shape
+    kb = _cdiv(min(k + 2, L), U) * U
+    if L - kb < _TWOPASS_MIN_SLACK:
+        return fine_call(E_c3, scales3, q, blk, vcnt, k, U, interpret)
+    bm = _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U, interpret)
+    _, pos = jax.lax.top_k(bm, kb)  # (Q, kb) positions in the list
+    # ascending positions: pass B DMAs blocks in list (cluster) order
+    pos = jax.lax.sort(pos, dimension=1)
+    blk2 = jnp.take_along_axis(blk, pos, axis=1)
+    vcnt2 = jnp.take_along_axis(vcnt, pos, axis=1)
+    return fine_call(E_c3, scales3, q, blk2, vcnt2, k, U, interpret)
+
+
+# ---------------------------------------------------------------------------
 # traceable search core (composes under jit and inside shard_map)
 
 def block_lists(probes, blk_start, nblk, counts, L: int):
@@ -463,7 +602,8 @@ def ivf2_search_core(
         _, probes = jax.lax.top_k(cs, nprobe)
         blk, vcnt = block_lists(probes, blk_start, nblk, counts, L)
         kf = min(k + refine_extra, L * SLAB)
-        fv, fslots = fine_call(E_c3, scales3, q, blk, vcnt, kf, U, interpret)
+        fv, fslots = fine_call_auto(E_c3, scales3, q, blk, vcnt, kf, U,
+                                    interpret)
         fgids = perm[jnp.maximum(fslots, 0)]
         fgids = jnp.where(fslots >= 0, fgids, -1)
         # a built row may have been deleted (zeroed): keep it — the

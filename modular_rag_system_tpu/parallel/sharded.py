@@ -202,6 +202,9 @@ class ShardedIndex:
             self._ivf2_update_rows(
                 s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
             )
+            # deletes count as drift; without this an update-only
+            # workload never re-fires the rebuild threshold
+            self._maybe_build_ivf2()
 
     def set_rows(self, rows: np.ndarray, mat: np.ndarray) -> None:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
@@ -217,6 +220,7 @@ class ShardedIndex:
             )
             self._update_derived_scatter(s_idx, j_idx, mat)
             self._ivf2_update_rows(s_idx, j_idx, mat)
+            self._maybe_build_ivf2()
 
     # ------------------------------------------------------------------
     def _update_derived_scatter(self, s_idx, j_idx, mat) -> None:
@@ -330,8 +334,10 @@ class ShardedIndex:
 
             counts_h = np.asarray(counts).astype(np.int64)  # (S, C)
             nblk_h = (counts_h + SLAB - 1) // SLAB
-            CHUNK = 1024
             nbp = max(int(nblk_h.sum(axis=1).max()), 1)
+            # clamp like IVF2.build: a small per-shard build must not
+            # allocate a 1024-block minimum fine copy
+            CHUNK = min(1024, 1 << max(nbp - 1, 1).bit_length())
             nbp = ((nbp + CHUNK - 1) // CHUNK) * CHUNK
             blk_start_h = np.cumsum(nblk_h, axis=1) - nblk_h
             row_start_h = np.cumsum(counts_h, axis=1) - counts_h
@@ -392,8 +398,13 @@ class ShardedIndex:
                 nblk_h=nblk_h, built=count, fine_dtype=fdt,
                 version=self.ivf_rebuilds)
             self.ivf_rebuilds += 1
+            # evict search programs compiled against the superseded
+            # build: search_core keys are (Qp, k) + search_token(k) with
+            # the tier at position 2 and the old iv.version baked in at
+            # position 6 — none can be hit again after the version bump
             stale = [kk for kk in self._search_cache
-                     if isinstance(kk, tuple) and kk and kk[0] == "ivf2"]
+                     if isinstance(kk, tuple) and len(kk) > 2
+                     and kk[2] == "ivf"]
             for kk in stale:
                 del self._search_cache[kk]
 
@@ -430,53 +441,52 @@ class ShardedIndex:
         L = max(int(np.sort(iv.nblk_h, axis=1)[:, ::-1][:, :nprobe].sum(axis=1).max()), 1)
         L = ((L + U - 1) // U) * U
         tail_s = self._ivf_tail_s()
-        if True:
-            interpret = _use_interpret()
-            axes = (axis,) if isinstance(axis, str) else tuple(axis)
-            hierarchical = isinstance(axis, tuple)
+        interpret = _use_interpret()
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        hierarchical = isinstance(axis, tuple)
 
-            def body(E_blk, Ec, sc, pm, bs, nb, cn, cents, built_g,
-                     count_g, q):
-                sid = jax.lax.axis_index(axes[0])
-                for a in axes[1:]:
-                    sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
-                built_s = jnp.maximum(0, (built_g - sid + S - 1) // S)
-                count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
-                vals, lrow = ivf2_search_core(
-                    E_blk[0], Ec[0], sc[0], pm[0], cents, bs[0], nb[0],
-                    cn[0], built_s, count_s, q, k=k, nprobe=nprobe, L=L,
-                    tail_max=tail_s, U=U, interpret=interpret,
-                    refine_extra=refine_extra)
-                gids = jnp.where(lrow >= 0, lrow * S + sid,
-                                 np.int32(2**31 - 1))
-                vals = jnp.where(lrow >= 0, vals, -jnp.inf)
+        def body(E_blk, Ec, sc, pm, bs, nb, cn, cents, built_g,
+                 count_g, q):
+            sid = jax.lax.axis_index(axes[0])
+            for a in axes[1:]:
+                sid = sid * mesh.shape[a] + jax.lax.axis_index(a)
+            built_s = jnp.maximum(0, (built_g - sid + S - 1) // S)
+            count_s = jnp.maximum(0, (count_g - sid + S - 1) // S)
+            vals, lrow = ivf2_search_core(
+                E_blk[0], Ec[0], sc[0], pm[0], cents, bs[0], nb[0],
+                cn[0], built_s, count_s, q, k=k, nprobe=nprobe, L=L,
+                tail_max=tail_s, U=U, interpret=interpret,
+                refine_extra=refine_extra)
+            gids = jnp.where(lrow >= 0, lrow * S + sid,
+                             np.int32(2**31 - 1))
+            vals = jnp.where(lrow >= 0, vals, -jnp.inf)
 
-                def gather_merge(v, g, ax, km):
-                    av = jax.lax.all_gather(v, ax)
-                    ag = jax.lax.all_gather(g, ax)
-                    n_ax, Qp_, kk = av.shape
-                    cv = jnp.transpose(av, (1, 0, 2)).reshape(Qp_, n_ax * kk)
-                    cg = jnp.transpose(ag, (1, 0, 2)).reshape(Qp_, n_ax * kk)
-                    neg, gs = jax.lax.sort((-cv, cg), dimension=1, num_keys=2)
-                    return -neg[:, :km], gs[:, :km]
+            def gather_merge(v, g, ax, km):
+                av = jax.lax.all_gather(v, ax)
+                ag = jax.lax.all_gather(g, ax)
+                n_ax, Qp_, kk = av.shape
+                cv = jnp.transpose(av, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                cg = jnp.transpose(ag, (1, 0, 2)).reshape(Qp_, n_ax * kk)
+                neg, gs = jax.lax.sort((-cv, cg), dimension=1, num_keys=2)
+                return -neg[:, :km], gs[:, :km]
 
-                if hierarchical:
-                    dcn_ax, ici_ax = axis
-                    vals, gids = gather_merge(
-                        vals, gids, ici_ax,
-                        min(k, mesh.shape[ici_ax] * k))
-                    return gather_merge(vals, gids, dcn_ax, k)
-                return gather_merge(vals, gids, axis, k)
+            if hierarchical:
+                dcn_ax, ici_ax = axis
+                vals, gids = gather_merge(
+                    vals, gids, ici_ax,
+                    min(k, mesh.shape[ici_ax] * k))
+                return gather_merge(vals, gids, dcn_ax, k)
+            return gather_merge(vals, gids, axis, k)
 
-            sp3 = P(axis, None, None)
-            fn = jax.jit(jax.shard_map(
-                body, mesh=mesh,
-                in_specs=(sp3, P(axis, None, None, None), sp3,
-                          P(axis, None), P(axis, None), P(axis, None),
-                          P(axis, None), P(), P(), P(), P()),
-                out_specs=(P(), P()),
-                check_vma=False,
-            ))
+        sp3 = P(axis, None, None)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(sp3, P(axis, None, None, None), sp3,
+                      P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
         return fn
 
     # ------------------------------------------------------------------

@@ -562,3 +562,23 @@ def test_ivf_tier_rides_fused_program(tmp_storage):
                                    atol=1e-5)
     finally:
         eng.shutdown()
+
+
+def test_fused_query_cache_is_bounded(fake_config):
+    """Continuous ingest on an ivf-tier engine mints a new search token
+    (build version / tail window) every rebuild; superseded compiled
+    programs pin a full encoder-params copy each, so the cache must
+    evict, not grow (round-3 review finding)."""
+    cfg = fake_config.merged({
+        "index": {"tier": "ivf", "ivf_clusters": 4, "ivf_nprobe": 4,
+                  "ivf_rebuild_min": 8, "ivf_tail_frac": 0.01,
+                  "ivf_fine_dtype": "bf16"},
+    })
+    eng = RAGEngine(cfg)
+    for i in range(40):
+        eng.add_document(f"document number {i} about topic {i % 5}")
+        eng.query(f"topic {i % 5}", max_results=2)
+    assert len(eng._fused_query_cache) <= eng._FUSED_CACHE_MAX
+    # the engine still answers correctly after evictions
+    res = eng.query("document number 39", max_results=2)
+    assert res.documents

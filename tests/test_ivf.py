@@ -247,3 +247,75 @@ def test_ivf_refine_extra_knob(rng):
     tok0 = idx.search_token()
     idx.ivf_refine_extra = 10
     assert idx.search_token() != tok0
+
+
+def test_ivf_update_only_drift_triggers_rebuild(rng):
+    """set_rows/delete_rows count as drift and re-fire the rebuild
+    threshold even with NO appends: a re-embedding workload must not
+    leave rows in clusters chosen for their old values forever."""
+    E = normalized(rng, 1024, 32)
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=1,
+                      ivf_rebuild_min=64, ivf_tail_frac=0.1,
+                      ivf_fine_dtype="bf16")
+    idx.add(E)
+    assert idx._ivf2 is not None
+    builds0 = idx.ivf_rebuilds
+    # overwrite a third of the corpus in place, batch by batch — drift
+    # alone (no adds) must eventually cross max(64, 0.1 * 1024) = 103
+    moved = normalized(rng, 384, 32)
+    for lo in range(0, 384, 48):
+        rows = np.arange(lo, lo + 48)
+        idx.set_rows(rows, moved[lo:lo + 48])
+    assert idx.ivf_rebuilds > builds0, "update-only drift never rebuilt"
+    # after the rebuild the moved rows live in their TRUE clusters:
+    # nprobe=1 retrieval of a moved row's new value finds it
+    _, got = idx.search(moved[:8], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(8))
+
+
+def test_ivf2_build_padding_is_bounded(rng):
+    """The chunked fill pads the fine copy to a chunk multiple, but the
+    chunk clamps to the corpus size: a small build must not allocate the
+    1024-block (200 MB at d=384) maximum."""
+    from modular_rag_system_tpu.ops.ivf2 import SLAB, IVF2
+
+    E = jnp.asarray(normalized(rng, 3000, 32))
+    iv = IVF2.build(E, 3000, n_clusters=8, iters=2, nprobe=8)
+    nblocks = iv.E_c3.shape[0]
+    # 3000 rows over 8 clusters need ~8-20 SLAB-row blocks; padding may
+    # at most double that — nowhere near the 1024-block ceiling
+    assert nblocks <= 64, f"fine copy over-padded: {nblocks} blocks"
+    assert iv.E_c3.shape[1] == SLAB
+
+
+def test_fine_twopass_matches_singlepass(rng):
+    """r3.5 two-pass fine stage (per-block maxima -> top-(kf+2) block
+    cover -> selecting rescan) must return bit-identical candidates to
+    the single-pass kernel — the binmax cover argument, applied to the
+    clustered fine stage."""
+    import jax
+
+    from modular_rag_system_tpu.ops.ivf2 import (
+        IVF2,
+        block_lists,
+        fine_call,
+        fine_call_auto,
+    )
+
+    d, N, C = 64, 6144, 6
+    E = jnp.asarray(normalized(rng, N, d))
+    for fdt in ("bf16", "int8"):
+        iv = IVF2.build(E, N, n_clusters=C, iters=3, nprobe=C,
+                        fine_dtype=fdt)
+        q = jnp.asarray(normalized(rng, 8, d))
+        _, probes = jax.lax.top_k(jnp.dot(q, iv.centroids.T), C)
+        L = ((int(np.asarray(iv.nblk).sum()) + 3) // 4) * 4
+        blk, vcnt = block_lists(probes, iv.blk_start, iv.nblk, iv.counts, L)
+        kf = 8
+        kb = ((kf + 2 + 3) // 4) * 4
+        assert L - kb >= 8, "corpus too small to exercise the two-pass path"
+        v1, s1 = fine_call(iv.E_c3, iv.scales3, q, blk, vcnt, kf, 4, True)
+        v2, s2 = fine_call_auto(iv.E_c3, iv.scales3, q, blk, vcnt, kf, 4,
+                                True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

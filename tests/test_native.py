@@ -117,3 +117,31 @@ def test_native_wordpiece_bit_exact_and_fast():
     ia, ma = nat.encode_batch(na)
     ib, mb = py.encode_batch(na)
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_ascii_control_whitespace_parity(engine):
+    """Python re \\s (Unicode) treats the separator controls 0x1c-0x1f as
+    whitespace; the C++ engine must agree or the same corpus embeds
+    differently depending on whether libtextengine.so built."""
+    from modular_rag_system_tpu.models.tokenizer import WordPieceTokenizer
+    from modular_rag_system_tpu.models.wordpiece_train import train_wordpiece
+
+    texts = ["foo\x1cbar", "a\x1db", "x\x1e\x1fy", "end\x1c", "\x1fstart"]
+    py = HashingTokenizer(vocab_size=30522, max_len=32, use_native=False)
+    nat = HashingTokenizer(vocab_size=30522, max_len=32, use_native=True)
+    ip, mp = py.encode_batch(texts)
+    ia, ma = nat.encode_batch(texts)
+    np.testing.assert_array_equal(ia, ip)
+    np.testing.assert_array_equal(ma, mp)
+    for t in texts:
+        assert nat.token_count(t) == py.token_count(t), repr(t)
+
+    vocab = train_wordpiece(["foo bar baz start end"] * 8, vocab_size=256)
+    wn = WordPieceTokenizer(vocab, max_len=16, use_native=True)
+    wp = WordPieceTokenizer(vocab, max_len=16, use_native=False)
+    if wn._wp_native is None:
+        pytest.skip("native engine unavailable")
+    i1, m1 = wn.encode_batch(texts)
+    i2, m2 = wp.encode_batch(texts)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(m1, m2)

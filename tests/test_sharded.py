@@ -423,3 +423,24 @@ def test_search_deep_matches_exact_beyond_cap_s(rng, mesh8):
             vals[i], np.sort(ref[i])[::-1][:k], rtol=1e-5, atol=1e-5
         )
         assert set(gids[i]) == set(order)
+
+
+def test_sharded_update_only_drift_triggers_rebuild(rng, mesh8):
+    """Mirror of the DeviceIndex drift test: set_rows-only workloads on a
+    sharded ivf index must re-fire the rebuild threshold (round-3 review
+    finding — stale_rows grew unbounded with no rebuild)."""
+    idx = ShardedIndex(dim=32, mesh=mesh8, tier="ivf", block_rows=64,
+                       ivf_clusters=8, ivf_nprobe=1, ivf_iters=4,
+                       ivf_rebuild_min=64, ivf_tail_frac=0.1,
+                       ivf_fine_dtype="bf16")
+    E = normalized(rng, 1024, 32)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    builds0 = idx.ivf_rebuilds
+    moved = normalized(rng, 384, 32)
+    for lo in range(0, 384, 48):
+        rows = np.arange(lo, lo + 48)
+        idx.set_rows(rows, moved[lo:lo + 48])
+    assert idx.ivf_rebuilds > builds0, "update-only drift never rebuilt"
+    _, got = idx.search(moved[:8], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(8))
