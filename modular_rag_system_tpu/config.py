@@ -79,10 +79,10 @@ class IndexConfig:
     ivf_nprobe: int = 8
     ivf_iters: int = 10
     # fine-stage over-selection beyond k before the master rescore.
-    # None = k (default; recall ~0.99 at nprobe=1 on 10M).  0 trades
-    # recall (~0.92) for ~2x QPS: the fine kernel's VMEM running-top-k
-    # cost scales with k + extra (measured 63.2k vs 34.4k QPS at 10M,
-    # tools/exp_ivf2_refine.py)
+    # None = k (default; recall ~0.99 at nprobe=1 on 10M).  Since r3.5
+    # (score-dump fine stage) selection runs OUTSIDE the kernel and this
+    # knob no longer trades throughput — it only bounds the rescore
+    # width.  Kept for compatibility; leave at the default.
     ivf_refine_extra: Optional[int] = None
     # fine-stage storage: "bf16" | "int8" | "auto" (int8 past 4M rows —
     # HBM: a 10M bf16 fine copy next to the master does not fit one v5e)

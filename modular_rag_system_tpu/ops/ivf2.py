@@ -481,7 +481,15 @@ def _fine_binmax_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, Lp: int,
 
 
 def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
-    """Per-query per-candidate-block maxima: (Q, L) f32 (-inf = dead)."""
+    """Per-query per-candidate-block maxima: (Q, L) f32 (-inf = dead).
+
+    NOT on the serving path: this is the measured streaming floor of the
+    fine stage (same DMAs and dots as the other fine kernels, zero
+    selection work) — ``tools/exp_ivf2_breakdown.py`` times it next to
+    the real paths so selection-cost regressions are visible.  A
+    maxima->cover->rescan two-pass built on it was measured SLOWER than
+    one score-dump pass over the full list (it re-reads the covered
+    slabs); see ``fine_call_auto`` and docs/kernels.md r3.5."""
     nblocks, S, d = E_c3.shape
     Q, L = blk.shape
     assert L % U == 0
@@ -528,28 +536,155 @@ def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
     return bm[:, :L]
 
 
-# below this many grid steps the single-pass kernel wins (pass B alone
-# runs ~kb/U steps; two passes only pay off once L is clearly larger)
-_TWOPASS_MIN_SLACK = 2 * 4  # blocks
+def _fine_scores_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int,
+                        int8: bool):
+    """Score-dump variant of ``_fine_kernel``: same streaming loop, but
+    raw U x SLAB scores land in the output instead of folding into an
+    in-VMEM running top-k — selection happens outside with one
+    positional ``lax.top_k``.  The output block is the query's full
+    (1, L/U, U*SLAB) row (Mosaic needs full trailing dims here: a
+    (1, U*SLAB) per-step block has a 1-sublane shape it rejects),
+    revisited across j with a masked write — each j-lane is written
+    exactly once, so no init pass is needed."""
+    tiles = rest[:U]
+    scs = rest[U:2 * U] if int8 else ()
+    base = 2 * U if int8 else U
+    out_ref = rest[base]  # (1, L/U, U*SLAB) block at (i, 0, 0)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    Q, d = q_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+    onehot = (rows == i).astype(q_ref.dtype)
+    qi = jax.lax.dot_general(
+        onehot, q_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, d) f32
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1)
+    parts = []
+    for u in range(U):
+        tile = tiles[u][0]
+        s = jax.lax.dot_general(
+            qi.astype(jnp.bfloat16 if int8 else tile.dtype),
+            tile.astype(jnp.bfloat16) if int8 else tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, SLAB)
+        if int8:
+            s = s * scs[u][0]
+        vc = vcnt_ref[i, j * U + u]
+        parts.append(jnp.where(iota_s < vc, s, _NEG_INF))
+    step = jnp.concatenate(parts, axis=1).reshape(1, 1, U * SLAB)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, nj, 1), 1) == j
+    out_ref[:] = jnp.where(sel, jnp.broadcast_to(step, out_ref.shape),
+                           out_ref[:])
+
+
+def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
+    """All candidate-row scores, streamed: (Q, L * SLAB) f32, -inf on
+    dead/padded rows.  Same DMA pattern and in-kernel dot as the
+    selecting kernel — only the selection moved out."""
+    nblocks, S, d = E_c3.shape
+    Q, L = blk.shape
+    assert L % U == 0
+    int8 = E_c3.dtype == jnp.int8
+    kern = functools.partial(_fine_scores_kernel, U=U, int8=int8)
+    tile_specs = [
+        pl.BlockSpec((1, SLAB, d),
+                     functools.partial(
+                         lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
+                     memory_space=pltpu.VMEM)
+        for uu in range(U)
+    ]
+    scale_specs = [
+        pl.BlockSpec((1, 1, SLAB),
+                     functools.partial(
+                         lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
+                     memory_space=pltpu.VMEM)
+        for uu in range(U)
+    ] if int8 else []
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Q, L // U),
+        in_specs=[pl.BlockSpec((Q, d), lambda i, j, b, v: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + tile_specs + scale_specs,
+        out_specs=pl.BlockSpec((1, L // U, U * SLAB),
+                               lambda i, j, b, v: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
+    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Q, L // U, U * SLAB), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * L * SLAB * d,
+            bytes_accessed=Q * L * SLAB * (d * E_c3.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(blk, vcnt, *operands)
+    return out.reshape(Q, L * SLAB)
+
+
+def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
+                  interpret: bool = False):
+    """Fine stage with OUT-OF-KERNEL selection: the score-dump kernel
+    streams every candidate row's score to HBM ((Q, L*SLAB) f32, ~2% of
+    the slab traffic at d=384), then one positional ``lax.top_k`` picks
+    the top-k candidates.  Blocks are pre-sorted ascending (dead slots
+    last), so lowest-position tie-break == lowest global slot id — the
+    selecting kernel's tie order.  Replaces the in-kernel k-pass running
+    selection, measured at ~6x the streaming cost
+    (tools/exp_ivf2_breakdown.py: pass A 0.75-0.96 ms vs selecting
+    kernel 6.7-7.0 ms at kf=20, 10.5M x 384 nprobe=1)."""
+    Q, L = blk.shape
+    # sort blocks ascending with dead slots (vcnt == 0) pushed last, so
+    # flattened slot ids ASCEND with candidate position among live rows
+    key = jnp.where(vcnt > 0, blk, jnp.int32(2**30))
+    order = jnp.argsort(key, axis=1)
+    blk2 = jnp.take_along_axis(blk, order, axis=1)
+    vc2 = jnp.take_along_axis(vcnt, order, axis=1)
+    flat = fine_scores_call(E_c3, scales3, q, blk2, vc2, U, interpret)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SLAB), 2)
+    sid = (blk2[:, :, None] * SLAB + iota).reshape(Q, L * SLAB)
+    kk = min(k, L * SLAB)
+    vals, pos = jax.lax.top_k(flat, kk)
+    slots = jnp.take_along_axis(sid, pos, axis=1)
+    slots = jnp.where(jnp.isfinite(vals), slots, -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
+                       constant_values=_NEG_INF)
+        slots = jnp.pad(slots, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, slots
+
+
+# dump-path score buffer cap: (Q, L*SLAB) f32 past this falls back to
+# the constant-memory selecting kernel (only reachable by probe-all
+# configs on big corpora — serving nprobes keep L*SLAB*Q tiny)
+_DUMP_MAX_BYTES = 1 << 31
 
 
 def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
                    interpret: bool):
-    """Dispatch between the single-pass kernel and the two-pass binmax
-    restructuring.  Same results either way (the kb = k + 2 block cover
-    is exact for top-k candidates; ties break identically because pass B
-    sees the same global slot ids)."""
+    """Fine-stage dispatch (r3.5): the score-dump path always wins when
+    its (Q, L*SLAB) f32 score buffer is affordable — its extra HBM
+    traffic is the score write (4 bytes per scanned d-dim row, ~1% of
+    slab bytes at d=384) while the selecting kernel pays a k-pass
+    running selection per grid step, measured at ~6x the streaming cost
+    (tools/exp_ivf2_breakdown.py).  A maxima-pass pre-cover was built
+    and measured too, but it RE-READS the covered slabs, so it always
+    loses to one dump over the full list — see docs/kernels.md r3.5.
+    Candidate ids are identical in both branches (ties break by lowest
+    slot id everywhere); values may differ by accumulation-order ulps
+    (harmless: the search core rescores candidates on the master)."""
     Q, L = blk.shape
-    kb = _cdiv(min(k + 2, L), U) * U
-    if L - kb < _TWOPASS_MIN_SLACK:
-        return fine_call(E_c3, scales3, q, blk, vcnt, k, U, interpret)
-    bm = _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U, interpret)
-    _, pos = jax.lax.top_k(bm, kb)  # (Q, kb) positions in the list
-    # ascending positions: pass B DMAs blocks in list (cluster) order
-    pos = jax.lax.sort(pos, dimension=1)
-    blk2 = jnp.take_along_axis(blk, pos, axis=1)
-    vcnt2 = jnp.take_along_axis(vcnt, pos, axis=1)
-    return fine_call(E_c3, scales3, q, blk2, vcnt2, k, U, interpret)
+    if Q * L * SLAB * 4 <= _DUMP_MAX_BYTES:
+        return fine_call_xla(E_c3, scales3, q, blk, vcnt, k, U, interpret)
+    return fine_call(E_c3, scales3, q, blk, vcnt, k, U, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -288,11 +288,10 @@ def test_ivf2_build_padding_is_bounded(rng):
     assert iv.E_c3.shape[1] == SLAB
 
 
-def test_fine_twopass_matches_singlepass(rng):
-    """r3.5 two-pass fine stage (per-block maxima -> top-(kf+2) block
-    cover -> selecting rescan) must return bit-identical candidates to
-    the single-pass kernel — the binmax cover argument, applied to the
-    clustered fine stage."""
+def test_fine_dump_matches_selecting_kernel(rng):
+    """r3.5 score-dump fine stage (raw scores streamed to HBM + one
+    positional ``lax.top_k``) must return identical candidate ids to
+    the selecting kernel, including the lowest-slot-id tie order."""
     import jax
 
     from modular_rag_system_tpu.ops.ivf2 import (
@@ -317,5 +316,9 @@ def test_fine_twopass_matches_singlepass(rng):
         v1, s1 = fine_call(iv.E_c3, iv.scales3, q, blk, vcnt, kf, 4, True)
         v2, s2 = fine_call_auto(iv.E_c3, iv.scales3, q, blk, vcnt, kf, 4,
                                 True)
+        # candidate IDS are identical; values may differ by accumulation
+        # order between the in-kernel dot and the XLA einsum (<= 1 ulp —
+        # harmless: the search core rescores candidates on the master)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
-        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=0, atol=1e-6)
