@@ -91,10 +91,11 @@ def main() -> int:
     eids = np.asarray(eids)
     note("ground truth done")
 
-    # IVF2 build: int8 fine copy (auto policy past 4M rows)
+    # IVF2 build: int8 fine copy (auto policy past 4M rows), LBG balance
+    # splits at the tier default (caps the worst-case block budget L)
     t0 = time.perf_counter()
     ivf = IVF2.build(E, N, n_clusters=C, iters=6, fine_dtype="int8",
-                     seed_batch=16384)
+                     seed_batch=16384, balance=1.5)
     jax.block_until_ready(ivf.E_c3)
     build_s = time.perf_counter() - t0
     note(f"ivf2 build {build_s:.0f}s; nblocks={ivf.nblocks} "

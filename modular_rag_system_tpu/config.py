@@ -84,6 +84,15 @@ class IndexConfig:
     # knob no longer trades throughput — it only bounds the rescore
     # width.  Kept for compatibility; leave at the default.
     ivf_refine_extra: Optional[int] = None
+    # cluster-size balance cap: at build, clusters larger than
+    # ivf_balance x the average are LBG-split (jittered centroid copies
+    # + a short Lloyd re-run), bounding the fine stage's padded
+    # block-list length L — the static WORST CASE over probed clusters,
+    # so one oversized cluster taxes every query's DMA budget.  Measured
+    # at 10.5M x 384: nprobe=1 156k -> 274k QPS (recall 0.991 both),
+    # nprobe=2 103k -> 179k @ recall 1.0000; build 31 -> 61 s.
+    # 0 = off (classic Lloyd's).
+    ivf_balance: float = 1.5
     # fine-stage storage: "bf16" | "int8" | "auto" (int8 past 4M rows —
     # HBM: a 10M bf16 fine copy next to the master does not fit one v5e)
     ivf_fine_dtype: str = "auto"

@@ -96,6 +96,7 @@ class RAGEngine:
                 ivf_tail_frac=self.config.index.ivf_tail_frac,
                 ivf_rebuild_min=self.config.index.ivf_rebuild_min,
                 ivf_refine_extra=self.config.index.ivf_refine_extra,
+                ivf_balance=self.config.index.ivf_balance,
             )
         else:
             self.index = DeviceIndex(
@@ -112,6 +113,7 @@ class RAGEngine:
                 ivf_tail_frac=self.config.index.ivf_tail_frac,
                 ivf_rebuild_min=self.config.index.ivf_rebuild_min,
                 ivf_refine_extra=self.config.index.ivf_refine_extra,
+                ivf_balance=self.config.index.ivf_balance,
             )
         self.recent_context: deque = deque(
             maxlen=self.config.retrieval.recent_context_size
@@ -713,6 +715,7 @@ class RAGEngine:
                 ivf_tail_frac=self.index.ivf_tail_frac,
                 ivf_rebuild_min=self.index.ivf_rebuild_min,
                 ivf_refine_extra=self.index.ivf_refine_extra,
+                ivf_balance=self.index.ivf_balance,
             )
         else:
             self.index = DeviceIndex(
@@ -729,6 +732,7 @@ class RAGEngine:
                 ivf_tail_frac=self.index.ivf_tail_frac,
                 ivf_rebuild_min=self.index.ivf_rebuild_min,
                 ivf_refine_extra=self.index.ivf_refine_extra,
+                ivf_balance=self.index.ivf_balance,
             )
         if len(live_old):
             self.index.add(live_emb)
@@ -778,6 +782,7 @@ class RAGEngine:
                     ivf_tail_frac=self.index.ivf_tail_frac,
                     ivf_rebuild_min=self.index.ivf_rebuild_min,
                     ivf_refine_extra=self.index.ivf_refine_extra,
+                    ivf_balance=self.index.ivf_balance,
                 )
             else:
                 self.index = DeviceIndex(
@@ -794,6 +799,7 @@ class RAGEngine:
                     ivf_tail_frac=self.index.ivf_tail_frac,
                     ivf_rebuild_min=self.index.ivf_rebuild_min,
                     ivf_refine_extra=self.index.ivf_refine_extra,
+                    ivf_balance=self.index.ivf_balance,
                 )
             self.index.add(mat)
             if tombstones:

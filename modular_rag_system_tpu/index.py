@@ -59,6 +59,7 @@ class DeviceIndex:
         ivf_tail_frac: float = 0.25,
         ivf_rebuild_min: int = 32768,
         ivf_refine_extra: Optional[int] = None,
+        ivf_balance: float = 0.0,
     ) -> None:
         """``store_dtype="bfloat16"`` halves the master matrix's HBM
         footprint (10M x 384 fits one v5e chip at 7.7 GB vs 15.4 GB f32);
@@ -98,6 +99,7 @@ class DeviceIndex:
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
         self.ivf_refine_extra = ivf_refine_extra
+        self.ivf_balance = ivf_balance
         self.ivf_rebuilds = 0
         self._ivf2 = None
         # compiled search programs, keyed by (Q, k) + search_token()
@@ -274,7 +276,8 @@ class DeviceIndex:
         if self.tier == "ivf" and self._ivf2 is not None:
             iv = self._ivf2
             t += ("ivf2", iv.version, iv.fine_dtype, self._ivf_tail_max(),
-                  self.ivf_nprobe, self.ivf_refine_extra)
+                  self.ivf_nprobe, self.ivf_refine_extra,
+                  self.ivf_balance)
         return t
 
     def search_core(self, k: int):
@@ -397,6 +400,7 @@ class DeviceIndex:
                 iters=self.ivf_iters,
                 nprobe=self.ivf_nprobe,
                 fine_dtype=fdt,
+                balance=self.ivf_balance,
             )
             self._ivf2.version = self.ivf_rebuilds
             self.ivf_rebuilds += 1
@@ -423,7 +427,8 @@ class DeviceIndex:
              fused_bin_width: Optional[int] = None,
              ivf_clusters: Optional[int] = None, ivf_nprobe: int = 8,
              ivf_iters: int = 10,
-             ivf_refine_extra: Optional[int] = None) -> "DeviceIndex":
+             ivf_refine_extra: Optional[int] = None,
+             ivf_balance: float = 0.0) -> "DeviceIndex":
         data = np.load(path)
         dim = int(data["dim"])
         count = int(data["count"])
@@ -432,7 +437,8 @@ class DeviceIndex:
                   block_rows=block_rows, store_dtype=store_dtype,
                   fused_bin_width=fused_bin_width, ivf_clusters=ivf_clusters,
                   ivf_nprobe=ivf_nprobe, ivf_iters=ivf_iters,
-                  ivf_refine_extra=ivf_refine_extra)
+                  ivf_refine_extra=ivf_refine_extra,
+                  ivf_balance=ivf_balance)
         if count:
             idx.add(snapshot_embeddings(data)[:count])
         return idx

@@ -68,6 +68,7 @@ class ShardedIndex:
         ivf_tail_frac: float = 0.25,
         ivf_rebuild_min: int = 32768,
         ivf_refine_extra: Optional[int] = None,
+        ivf_balance: float = 0.0,
     ) -> None:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
@@ -130,6 +131,7 @@ class ShardedIndex:
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
         self.ivf_refine_extra = ivf_refine_extra
+        self.ivf_balance = ivf_balance
         self.ivf_rebuilds = 0
         self._ivf2 = None
 
@@ -315,6 +317,45 @@ class ShardedIndex:
                 self.E, count, init, mesh, axis, iters=self.ivf_iters)
 
             axes = (axis,) if isinstance(axis, str) else tuple(axis)
+
+            # LBG balance splits (mirrors ops/ivf2._split_oversized):
+            # clusters past ivf_balance x avg seed jittered centroid
+            # copies and a short SPMD Lloyd re-run carves them up —
+            # per-shard bincounts psum to global, so every shard splits
+            # identically
+            if self.ivf_balance:
+                cap_rows = max(int(np.ceil(self.ivf_balance * count / C)),
+                               SLAB)
+                for _ in range(2):
+                    Ccur = int(centroids.shape[0])
+
+                    def cnt_body(lab_blk, Ccur=Ccur):
+                        c = jnp.bincount(
+                            jnp.where(lab_blk[0] >= 0, lab_blk[0], Ccur),
+                            length=Ccur + 1)[:Ccur]
+                        for a in axes:
+                            c = jax.lax.psum(c, a)
+                        return c
+
+                    cnts = np.asarray(jax.jit(jax.shard_map(
+                        cnt_body, mesh=mesh, in_specs=(P(axis, None),),
+                        out_specs=P(), check_vma=False))(labels))
+                    extra = np.maximum(
+                        np.ceil(cnts / cap_rows).astype(np.int64) - 1, 0)
+                    if int(extra.sum()) == 0:
+                        break
+                    src = np.repeat(np.arange(Ccur), extra)
+                    base = np.asarray(centroids)[src]
+                    seeds2 = base + rng.standard_normal(
+                        base.shape).astype(np.float32) * (
+                            0.05 / np.sqrt(self.dim))
+                    seeds2 /= np.maximum(
+                        np.linalg.norm(seeds2, axis=1, keepdims=True), 1e-12)
+                    grown = np.concatenate(
+                        [np.asarray(centroids, np.float32), seeds2], axis=0)
+                    centroids, labels = kmeans_fit_sharded(
+                        self.E, count, grown, mesh, axis, iters=3)
+                C = int(centroids.shape[0])
 
             def _sid():
                 sid = jax.lax.axis_index(axes[0])
@@ -675,7 +716,8 @@ class ShardedIndex:
         if tier == "ivf":
             iv = self._ivf2
             t += (iv.version, iv.fine_dtype, self._ivf_tail_s(),
-                  self.ivf_nprobe, self.ivf_refine_extra)
+                  self.ivf_nprobe, self.ivf_refine_extra,
+                  self.ivf_balance)
         return t
 
     def search_core(self, Qp: int, k: int):
@@ -839,7 +881,8 @@ class ShardedIndex:
     def load(cls, path: str, mesh=None, tier: str = "exact", block_rows: int = 1024,
              fused_bin_width=None, ivf_clusters: Optional[int] = None,
              ivf_nprobe: int = 8, ivf_iters: int = 10,
-             ivf_refine_extra: Optional[int] = None):
+             ivf_refine_extra: Optional[int] = None,
+             ivf_balance: float = 0.0):
         from modular_rag_system_tpu.index import snapshot_embeddings
 
         data = np.load(path)
@@ -856,6 +899,7 @@ class ShardedIndex:
             ivf_nprobe=ivf_nprobe,
             ivf_iters=ivf_iters,
             ivf_refine_extra=ivf_refine_extra,
+            ivf_balance=ivf_balance,
         )
         if int(data["count"]):
             idx.add(np.asarray(

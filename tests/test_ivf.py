@@ -322,3 +322,51 @@ def test_fine_dump_matches_selecting_kernel(rng):
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=0, atol=1e-6)
+
+
+def test_ivf_balance_splits_oversized_clusters(rng):
+    """ivf_balance > 0: clusters past balance*avg rows are LBG-split
+    (jittered centroid copies + short Lloyd re-run), shrinking the fine
+    stage's worst-case block budget without hurting retrieval."""
+    d, N = 32, 4096
+    centers = normalized(rng, 16, d)
+    w = np.ones(16); w[:2] = 12.0; w /= w.sum()
+    assign = rng.choice(16, N, p=w)
+    E = centers[assign] + 0.05 * rng.standard_normal((N, d)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    plain = DeviceIndex(dim=d, tier="ivf", ivf_clusters=8, ivf_nprobe=2,
+                        ivf_rebuild_min=64, ivf_fine_dtype="bf16")
+    plain.add(E)
+    bal = DeviceIndex(dim=d, tier="ivf", ivf_clusters=8, ivf_nprobe=2,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16",
+                      ivf_balance=1.5)
+    bal.add(E)
+    assert bal._ivf2.n_clusters > plain._ivf2.n_clusters
+    assert int(np.asarray(bal._ivf2.counts).max()) < int(
+        np.asarray(plain._ivf2.counts).max())
+    # self-retrieval still exact at modest nprobe
+    _, got = bal.search(E[:16], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(16))
+
+
+def test_sharded_ivf_balance(rng):
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    d, N = 32, 4096
+    centers = normalized(rng, 16, d)
+    w = np.ones(16); w[:2] = 12.0; w /= w.sum()
+    assign = rng.choice(16, N, p=w)
+    E = centers[assign] + 0.05 * rng.standard_normal((N, d)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    mesh = make_index_mesh(4, devices=cpu_mesh_devices(4))
+    idx = ShardedIndex(dim=d, mesh=mesh, tier="ivf", block_rows=64,
+                       ivf_clusters=8, ivf_nprobe=2, ivf_iters=4,
+                       ivf_rebuild_min=64, ivf_fine_dtype="bf16",
+                       ivf_balance=1.5)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    assert idx._ivf2.centroids.shape[0] > 8  # splits happened
+    _, got = idx.search(E[:16], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(16))
