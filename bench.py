@@ -1,9 +1,12 @@
 """Headline benchmark: QPS/chip at recall@10 on a 1M-chunk corpus.
 
 This measures BASELINE.json config 3: a compressed HBM-resident index
-(bf16, EXACT top-k — recall@10 == 1.0 vs exact f32, validated in-run)
-searched by the two-pass binmax Pallas kernel (``ops/binmax_topk.py``)
-with a 128-query batch.
+(bf16) searched by the two-pass binmax Pallas kernel
+(``ops/binmax_topk.py``).  Recall is reported against TWO ground
+truths (docs/kernels.md, scoring precision contract): exact search
+over the STORED bf16 index (the kernels' exactness contract —
+validated 1.0 in-run) and a true-f32 oracle over the source vectors
+(measures what bf16 storage itself costs, ~0.989 on this corpus).
 
 ``vs_baseline`` compares against the CPU brute-force cosine scan — the
 faithful stand-in for the reference's search path
@@ -156,23 +159,42 @@ def main() -> int:
     else:
         QS1, dt128, fused_dt, dt_i8 = QS, dt, dt, dt
 
-    note("recall check vs exact f32")
-    # --- recall vs exact f32 on-device --------------------------------
+    note("recall check vs exact search")
+    # --- recall, two ground truths -------------------------------------
+    # 1. CONTRACT recall: exact top-k over the STORED bf16 index (what
+    #    any search over this index can possibly return) — the kernels'
+    #    exactness claim is against this.
+    # 2. f32-ORACLE recall: exact top-k over the f32 source vectors at
+    #    Precision.HIGHEST — measures what storing bf16 itself costs.
+    #    (The TPU default would silently compute 1-pass bf16 products
+    #    here, which is why r2 reported "1.0 vs exact f32": the GT was
+    #    bf16-noisy.  See docs/kernels.md, scoring precision contract.)
+    from modular_rag_system_tpu.ops.binmax_topk import _round_to_dtype_f32
+
     vals, ids = jax.jit(kernel_twopass)(E16, qj)
-    # (recall is measured at Q query rows; exactness is Q-independent)
-    ev, eids = exact_topk(Ej, cnt, qj, k)
+    # the contract rounds q to the store dtype too (validated: 256/256
+    # result rows bit-identical to the kernel on this corpus)
+    q16 = _round_to_dtype_f32(qj, jnp.bfloat16)
+    _, sids = exact_topk(E16, cnt, q16, k)  # stored-data contract GT
+    ev, eids = exact_topk(Ej, cnt, qj, k)  # f32 oracle (HIGHEST)
+    sids = np.asarray(sids)
     eids = np.asarray(eids)
     gids = np.asarray(ids)
     recall = float(
+        np.mean([len(set(sids[i]) & set(gids[i])) / k for i in range(Q)])
+    )
+    recall_oracle = float(
         np.mean([len(set(eids[i]) & set(gids[i])) / k for i in range(Q)])
     )
     if on_tpu:
         _, i8ids = jax.jit(int8_tier)(E_q, scales, E16, qj)
         i8ids = np.asarray(i8ids)
         recall_i8 = float(np.mean(
+            [len(set(sids[i]) & set(i8ids[i])) / k for i in range(Q)]))
+        recall_i8_oracle = float(np.mean(
             [len(set(eids[i]) & set(i8ids[i])) / k for i in range(Q)]))
     else:
-        recall_i8 = recall
+        recall_i8, recall_i8_oracle = recall, recall_oracle
 
     # --- semantic quality: recall CURVE vs distractor hardness --------
     # (VERDICT r2 item 9) one in-bench fine-tune + eval per hardness
@@ -270,6 +292,8 @@ def main() -> int:
         "unit": "QPS",
         "vs_baseline": round(head_qps / cpu_qps, 1),
         "recall_at_10": round(head_recall, 4),
+        "recall_vs_f32_oracle": round(
+            recall_i8_oracle if on_tpu else recall_oracle, 4),
         "p50_batch_ms": round(head_dt * 1000, 3),
         "corpus": N,
         "dim": d,
@@ -277,6 +301,7 @@ def main() -> int:
         "cpu_baseline_qps": round(cpu_qps, 2),
         "bf16_exact_q256_qps": round(qps, 1),
         "bf16_exact_recall_at_10": round(recall, 4),
+        "bf16_exact_recall_vs_f32_oracle": round(recall_oracle, 4),
         "q128_qps": round(Q1 / dt128, 1),
         "int8_q256_qps": round(Q / dt_i8, 1),
         "int8_recall_at_10": round(recall_i8, 4),

@@ -221,7 +221,8 @@ def config4_ivf_sweep(scale):
     n_clusters = int(round(N ** 0.5))
     t0 = time.perf_counter()
     ivf = IVF2.build(Ej, N, n_clusters=n_clusters, iters=8,
-                     fine_dtype="bf16" if scale != "full" else "int8")
+                     fine_dtype="bf16" if scale != "full" else "int8",
+                     balance=1.5)  # the tier default (LBG splits)
     _sync(ivf.E_c3)
     build_s = time.perf_counter() - t0
     sc3 = (ivf.scales3 if ivf.scales3 is not None

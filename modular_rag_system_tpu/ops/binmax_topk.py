@@ -379,7 +379,13 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), E.dtype)
     # score in the STORE dtype with f32 accumulation: q_r is exactly
     # representable in E.dtype and an 8-bit x 8-bit bf16 product is
-    # exact in f32, so values match the f32 einsum bit for bit
+    # exact in f32, so values match the f32 einsum bit for bit.
+    # DELIBERATELY default precision: pass 1's Mosaic dot computes
+    # bf16 products (TPU default) even on f32 stores, and the
+    # exactness argument requires pass 1 and pass 2 to share ONE
+    # scoring space.  The tier's similarity contract is therefore
+    # bf16-product/f32-accumulate in EVERY store dtype; true-f32
+    # scoring is the exact tier's job (ops/exact.py HIGHEST)
     scores = jnp.einsum(
         "qd,qkbd->qkb", q_r.astype(E.dtype), slabs,
         preferred_element_type=jnp.float32,
@@ -592,10 +598,13 @@ def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
     slabs = E_master.reshape(nb, bin_width, d)[bins]  # (Qp, kb, bw, d)
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), E_master.dtype)
     # store-dtype scoring with f32 accumulation — bit-identical to the
-    # f32 einsum for bf16 operands (see twopass_topk_raw)
+    # f32 einsum for bf16 operands (see twopass_topk_raw); HIGHEST on
+    # f32 masters for true-f32 products (see ops/exact.py)
     scores = jnp.einsum(
         "qd,qkbd->qkb", q_r.astype(E_master.dtype), slabs,
         preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST
+                   if E_master.dtype == jnp.float32 else None),
     ).reshape(Qp, kb * bin_width)
     scores = jnp.where(rid_flat < count, scores, _NEG_INF)
     vals, ids = _topk_by_position(scores, rid_flat, k)
@@ -646,7 +655,9 @@ def refine_against_master(E, q, rows, k: int):
     # tiers' scoring convention bit-for-bit (see _round_to_dtype_f32)
     q_r = _round_to_dtype_f32(q.astype(jnp.float32), E.dtype)
     scores = jnp.einsum("qd,qcd->qc", q_r, cand,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if E.dtype == jnp.float32 else None))
     scores = jnp.where(rows >= 0, scores, _NEG_INF)
     ids = jnp.where(rows >= 0, rows, _BIG_I32)
     vals, out = _select_topk(scores, ids, k)

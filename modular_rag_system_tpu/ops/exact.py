@@ -33,7 +33,13 @@ def exact_topk_raw(E: jax.Array, count: jax.Array, q: jax.Array, k: int):
     Returns:
       (scores (Q, k) f32, rows (Q, k) i32); masked slots have score -inf.
     """
-    scores = jnp.dot(q, E.T, preferred_element_type=jnp.float32)
+    # HIGHEST: the TPU default lowers f32 matmuls to 1-pass bf16
+    # products (~4e-4 relative error at d=384) — unacceptable for
+    # THE reference tier, whose scores define ground truth for every
+    # other tier's recall.  For bf16 E the products are exact either
+    # way (bf16-valued inputs), so this only costs on f32 stores.
+    scores = jnp.dot(q, E.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     n = E.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     scores = jnp.where(col < count, scores, -jnp.inf)

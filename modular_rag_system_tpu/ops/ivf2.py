@@ -804,8 +804,11 @@ def ivf2_search_core(
             E_master, (base, jnp.int32(0)), (tail_max, d))
         # cast q DOWN to the store dtype (not the window up to f32: a
         # deep tail window as f32 would be a multi-GB transient)
+        # HIGHEST: match the exact tier's true-f32 products on f32
+        # masters (exact either way for bf16 — see ops/exact.py)
         ts = jnp.dot(q.astype(win.dtype), win.T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         gid = base + jnp.arange(tail_max, dtype=jnp.int32)[None, :]
         live = (gid >= built) & (gid < count)
         ts = jnp.where(live, ts, _NEG_INF)
@@ -835,7 +838,8 @@ def ivf2_search_core(
         # clustered data — a constant recall deficit at every nprobe
         q_r = _round_to_dtype_f32(q, E_master.dtype)
         scores = jnp.einsum("qd,qcd->qc", q_r, rows,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         scores = jnp.where(ids_all < count, scores, _NEG_INF)
         vals, ids = _select_topk(scores, ids_all, k)
     if vals.shape[1] < k:

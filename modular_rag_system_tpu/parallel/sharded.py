@@ -556,7 +556,9 @@ class ShardedIndex:
             s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
             if tier == "exact":
-                scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
+                scores = jnp.dot(q, E_s.T,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
                 col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
                 scores = jnp.where(col < count_s, scores, -jnp.inf)
                 vals, loc = jax.lax.top_k(scores, k)
@@ -760,7 +762,9 @@ class ShardedIndex:
             E_s = E_s[0]
             s = _shard_id()
             count_s = jnp.maximum(0, (count - s + S - 1) // S)
-            scores = jnp.dot(q, E_s.T, preferred_element_type=jnp.float32)
+            scores = jnp.dot(q, E_s.T,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             col = jax.lax.broadcasted_iota(jnp.int32, (1, cap_s), 1)
             scores = jnp.where(col < count_s, scores, -jnp.inf)
             vals, loc = jax.lax.top_k(scores, k_local)
