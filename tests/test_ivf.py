@@ -370,3 +370,20 @@ def test_sharded_ivf_balance(rng):
     assert idx._ivf2.centroids.shape[0] > 8  # splits happened
     _, got = idx.search(E[:16], 1)
     np.testing.assert_array_equal(got[:, 0], np.arange(16))
+
+
+def test_ivf_large_query_batch(rng):
+    """Q past the kernels' 256-query chunk boundary: the score-dump fine
+    stage's grid and score buffer scale with Q directly; results must
+    match a small-batch search row for row."""
+    E = normalized(rng, 2048, 32)
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16")
+    idx.add(E)
+    q = E[:300]  # pads past 256; queries ARE corpus rows
+    s_big, r_big = idx.search(q, 5)
+    s_small, r_small = idx.search(q[:37], 5)
+    np.testing.assert_array_equal(r_big[:37], r_small)
+    np.testing.assert_allclose(s_big[:37], s_small, rtol=1e-6, atol=1e-6)
+    # self-retrieval across the whole batch
+    np.testing.assert_array_equal(r_big[:, 0], np.arange(300))
