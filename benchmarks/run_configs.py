@@ -113,12 +113,17 @@ def config2_ingest_100k(scale):
              for i in range(n_chunks)]
     from modular_rag_system_tpu.types import Document
 
-    # warm the encoder's full-batch shape so the reported rate is the
-    # steady-state pipeline, not one-time jit compiles
-    eng.encoder.encode(texts[: cfg.embedding.batch_size])
+    # warm the WHOLE ingest pipeline (encode_device shapes, index
+    # append, dedup programs) with a full-batch add so the reported
+    # rate is the steady state, not one-time jit compiles — measured
+    # ~20 s of XLA compilation otherwise (profiled in r3.6)
+    warm_n = min(cfg.embedding.batch_size, len(texts))
+    eng.add_documents([Document(content=t) for t in texts[:warm_n]])
+    rest = texts[warm_n:]
     t0 = time.perf_counter()
-    eng.add_documents([Document(content=t) for t in texts])
+    eng.add_documents([Document(content=t) for t in rest])
     ingest_s = time.perf_counter() - t0
+    n_timed = len(rest)
     # query QPS (batched)
     queries = [f"synthetic words w{i%997}" for i in range(128)]
     eng.query_batch(queries, max_results=10)  # warm/compile (same shape)
@@ -127,7 +132,7 @@ def config2_ingest_100k(scale):
     query_s = time.perf_counter() - t0
     eng.shutdown()
     _emit({"config": 2, "name": "ingest-100k", "chunks": n_chunks,
-           "ingest_chunks_per_s": round(n_chunks / ingest_s, 1),
+           "ingest_chunks_per_s": round(n_timed / ingest_s, 1),
            "ingest_s": round(ingest_s, 2),
            "qps": round(128 / query_s, 1), "recall_at_10": 1.0,
            "backend": jax.default_backend()})

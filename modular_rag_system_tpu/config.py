@@ -58,9 +58,12 @@ class IndexConfig:
     """Device index knobs.
 
     ``tier`` selects the engine: "exact" (f32 matmul + top_k), "int8"
-    (quantized index + fused kernel), "ivf" (clustered ANN).  The
-    reference's only index was a brute-force Python cosine scan capped at
-    1000 rows (``ollama_rag_system.py:474-513``); none of these tiers cap.
+    (quantized index + fused kernel), "ivf" (clustered ANN), or "auto"
+    (int8 mixed below the measured ANN crossover (~4M rows), ivf
+    at/above — promotion happens on the write path; see
+    docs/operations.md sizing table).  The reference's only index was a
+    brute-force Python cosine scan capped at 1000 rows
+    (``ollama_rag_system.py:474-513``); none of these tiers cap.
     """
 
     tier: str = "exact"

@@ -359,6 +359,12 @@ class RAGEngine:
         import jax.numpy as jnp
 
         ids, mask = self.encoder.tokenizer.encode_batch(list(texts))
+        # crop to the pow-2 sequence bucket: queries are short (~10-60
+        # tokens) and the encoder forward at full max_seq_len costs
+        # ~8x the search itself at Q=256.  jit retraces per shape, so
+        # the cached program handles every bucket; results match the
+        # ingest path, which buckets identically (models/encoder.py).
+        ids, mask = self.encoder._crop_seq(ids, mask)
         Q = len(texts)
         Qp = 1
         while Qp < Q:
@@ -814,6 +820,11 @@ class RAGEngine:
             "store": self.store.stats(),
             "index": {
                 "tier": self.index.tier,
+                "effective_tier": (
+                    self.index.effective_tier()
+                    if hasattr(self.index, "effective_tier")
+                    else self.index._resolved_tier()
+                ),
                 "count": self.index.count,
                 "capacity": self.index.capacity,
                 "dim": self.index.dim,

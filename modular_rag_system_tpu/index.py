@@ -243,8 +243,24 @@ class DeviceIndex:
     #   search_ops()    tier-correct operand arrays (hold _lock),
     #   search_core(k)  traceable fn(ops, count, q) -> (vals, rows),
     #   search_token()  hashable part that must key any program cache.
+    # measured crossover (tools/exp_ivf2_1m.py + the 10M table in
+    # benchmarks/README.md): the int8 mixed exact tier wins at <=1M
+    # (161k vs ivf's recall-1.0 111k), ivf dominates at 10M (10-14x);
+    # promote at 4M rows, where the exact stream has fallen to ~40k QPS
+    _AUTO_IVF_ROWS = 4_194_304
+
+    def effective_tier(self) -> str:
+        """Resolve ``tier="auto"``: int8 mixed (exact scores, fastest
+        <=1M) below ``_AUTO_IVF_ROWS``, ivf at/above.  The switch is a
+        property of ``count`` only — promotion happens on the write
+        path via ``_maybe_build_ivf2`` and new search programs are
+        minted because ``search_token()`` leads with this value."""
+        if self.tier != "auto":
+            return self.tier
+        return "ivf" if self.count >= self._AUTO_IVF_ROWS else "int8"
+
     def search_ops(self) -> Tuple:
-        if self.tier == "int8":
+        if self.effective_tier() == "int8":
             if self._E_q is None:
                 from modular_rag_system_tpu.ops.quantize import quantize_rows
 
@@ -252,12 +268,12 @@ class DeviceIndex:
                 self.derived_rebuilds += 1
             # master E rides along for the post-kernel refine rescore
             return (self._E_q, self._scales, self.E)
-        if self.tier == "bf16" and self.store_dtype != "bfloat16":
+        if self.effective_tier() == "bf16" and self.store_dtype != "bfloat16":
             if self._E_bf16 is None:
                 self._E_bf16 = jax.jit(lambda e: e.astype(jnp.bfloat16))(self.E)
                 self.derived_rebuilds += 1
             return (self._E_bf16,)
-        if self.tier == "ivf" and self._ivf2 is not None:
+        if self.effective_tier() == "ivf" and self._ivf2 is not None:
             iv = self._ivf2
             sc3 = (iv.scales3 if iv.scales3 is not None
                    else jnp.zeros((1, 1), jnp.float32))
@@ -271,9 +287,9 @@ class DeviceIndex:
             max(8192, _next_pow2(tail)), self.capacity)
 
     def search_token(self) -> Tuple:
-        t = (self.tier, self.capacity, self.fused_bin_width,
+        t = (self.effective_tier(), self.capacity, self.fused_bin_width,
              self.store_dtype, self.block_rows)
-        if self.tier == "ivf" and self._ivf2 is not None:
+        if self.effective_tier() == "ivf" and self._ivf2 is not None:
             iv = self._ivf2
             t += ("ivf2", iv.version, iv.fine_dtype, self._ivf_tail_max(),
                   self.ivf_nprobe, self.ivf_refine_extra,
@@ -282,7 +298,7 @@ class DeviceIndex:
 
     def search_core(self, k: int):
         """Traceable fn(ops, count, q) for the CURRENT tier/state."""
-        tier = self.tier
+        tier = self.effective_tier()
         if tier == "ivf" and (self._ivf2 is None or k > 64):
             # below the build threshold — or at deep-refill k, where the
             # fine kernel's unrolled running selection would not fit —
@@ -376,7 +392,7 @@ class DeviceIndex:
         """Write-path rebuild trigger: (re)cluster when the exact tail +
         stale rows pass the threshold.  Queries never rebuild — they
         serve the tail exactly in the meantime (VERDICT r2 item 2)."""
-        if self.tier != "ivf" or self.count == 0:
+        if self.effective_tier() != "ivf" or self.count == 0:
             return
         built = self._ivf2.built if self._ivf2 else 0
         stale = self._ivf2.stale_rows if self._ivf2 else 0

@@ -95,6 +95,15 @@ def try_build_default_encoder(config):
     from modular_rag_system_tpu.models.tokenizer import WordPieceTokenizer
 
     max_len = min(config.embedding.max_seq_len, arch["max_len"])
+    if max_len < arch["max_len"]:
+        # the module's pos_embed table is sized max_len: crop the
+        # checkpoint's table (rows past max_len are never indexed —
+        # flax validates stored param shapes at apply time, so an
+        # uncropped table raises ScopeParamShapeError)
+        params = dict(params)
+        pe = dict(params["pos_embed"])
+        pe["embedding"] = np.asarray(pe["embedding"])[:max_len]
+        params["pos_embed"] = pe
     tok = WordPieceTokenizer(vocab, max_len=max_len)
     enc = MiniLMEncoder(
         dim=arch["hidden"],

@@ -103,6 +103,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+# shortest sequence bucket: keeps the trace cache small (seq buckets are
+# {32, 64, 128, ..., max_seq_len}) while still capturing most of the win
+# — a 10-token chunk in a 256-token pad wastes 25x FFN / 64x attention
+# FLOPs; at bucket 32 that drops to ~3x / ~10x
+_MIN_SEQ_BUCKET = 32
+
+
 class MiniLMEncoder:
     """Host-facing wrapper: tokenize -> bucket-pad -> jitted forward."""
 
@@ -139,12 +146,42 @@ class MiniLMEncoder:
         if params is None:
             ids = jnp.zeros((1, max_seq_len), jnp.int32)
             params = self.module.init(jax.random.PRNGKey(seed), ids, ids)["params"]
+        else:
+            # loaded checkpoints (bundled npz / HF mapping) arrive as
+            # numpy trees: passing numpy leaves to the jitted forward
+            # re-uploads ALL weights per call (measured ~1 s/batch over
+            # the device relay — 20x the forward itself); put them on
+            # device ONCE here
+            params = jax.tree.map(jnp.asarray, params)
         self.params = params
         self._apply = jax.jit(
             lambda p, ids, mask: self.module.apply({"params": p}, ids, mask)
         )
 
     # ------------------------------------------------------------------
+    def _crop_seq(self, ids: np.ndarray, mask: np.ndarray):
+        """Crop a (B, max_seq_len) token batch to its pow-2 seq bucket.
+
+        Tokens are left-packed (tokenizer fills from position 0), so
+        cropping to the longest row's bucket drops only all-PAD columns;
+        those columns are masked out of attention AND pooling, so the
+        embedding is unchanged (verified to f32 tolerance in
+        tests/test_encoder.py).  Chunks are often far shorter than
+        ``max_seq_len`` (keystroke/sentence chunks ~10-60 tokens), and a
+        transformer forward pays O(S) FFN + O(S^2) attention FLOPs per
+        padded position — the reference burned this cost too, one FULL
+        unbatched CPU forward per chunk (embedding_pipeline.py:393-438).
+        """
+        n_tok = int(mask.sum(axis=1).max()) if mask.size else 1
+        bucket = _MIN_SEQ_BUCKET
+        while bucket < n_tok:
+            bucket <<= 1
+        bucket = min(bucket, self.max_seq_len)
+        if bucket < ids.shape[1]:
+            ids = ids[:, :bucket]
+            mask = mask[:, :bucket]
+        return ids, mask
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), np.float32)
@@ -165,6 +202,7 @@ class MiniLMEncoder:
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             ids, mask = self.tokenizer.encode_batch(chunk)
+            ids, mask = self._crop_seq(ids, mask)
             n = len(chunk)
             padded = min(_next_pow2(n), bs)
             if padded > n:
@@ -196,6 +234,7 @@ class MiniLMEncoder:
         for i in range(0, len(texts), bs):
             chunk = list(texts[i : i + bs])
             ids, mask = self.tokenizer.encode_batch(chunk)
+            ids, mask = self._crop_seq(ids, mask)
             n = len(chunk)
             padded = min(_next_pow2(n), bs)
             if padded > n:

@@ -73,10 +73,10 @@ class ShardedIndex:
         """``axis`` may be a single mesh-axis name (flat ICI merge) or a
         (dcn_axis, ici_axis) tuple for the hierarchical two-stage merge
         on a 2-D multi-slice mesh (``make_hierarchical_index_mesh``)."""
-        if tier not in ("exact", "fused", "bf16", "int8", "ivf"):
+        if tier not in ("exact", "fused", "bf16", "int8", "ivf", "auto"):
             raise ValueError(
                 f"ShardedIndex does not support tier {tier!r} "
-                f"(choose exact/fused/bf16/int8/ivf)"
+                f"(choose exact/fused/bf16/int8/ivf/auto)"
             )
         self.dim = dim
         self.tier = tier
@@ -272,7 +272,7 @@ class ShardedIndex:
         """Write-path rebuild trigger (mirrors DeviceIndex): re-cluster
         when the exact tail + stale rows pass the threshold.  Queries
         never rebuild."""
-        if self.tier != "ivf" or self.count == 0:
+        if self._resolved_tier() != "ivf" or self.count == 0:
             return
         built = self._ivf2.built if self._ivf2 else 0
         stale = self._ivf2.stale_rows if self._ivf2 else 0
@@ -537,7 +537,7 @@ class ShardedIndex:
         ``tier`` overrides ``self.tier`` (used by the ivf tier's exact
         fallback below the build threshold)."""
         S, axis = self.S, self.axis
-        tier = tier or self.tier
+        tier = tier or self._effective_tier(k)
         cap_s, block_rows = self.cap_s, min(self.block_rows, self.cap_s)
         bin_width = self.fused_bin_width
         interpret = _use_interpret()
@@ -664,7 +664,7 @@ class ShardedIndex:
 
     def query_pad_multiple(self) -> int:
         """Sublane multiple queries must pad to for the current tier."""
-        return 16 if self.tier == "int8" else 8
+        return 16 if self._resolved_tier() == "int8" else 8
 
     def _dummy3(self):
         if (getattr(self, "_dummy3_arr", None) is None):
@@ -674,12 +674,24 @@ class ShardedIndex:
             )
         return self._dummy3_arr
 
+    def _resolved_tier(self) -> str:
+        """Resolve ``tier="auto"`` (mirrors ``DeviceIndex.effective_tier``):
+        int8 mixed below the measured ANN crossover, ivf at/above
+        (GLOBAL count — the trade is about total bytes scanned)."""
+        from modular_rag_system_tpu.index import DeviceIndex
+
+        if self.tier != "auto":
+            return self.tier
+        return ("ivf" if self.count >= DeviceIndex._AUTO_IVF_ROWS
+                else "int8")
+
     def _effective_tier(self, k: int) -> str:
         """ivf serves the exact stream below the build threshold or at
         deep-refill k (the in-kernel running selection would not fit)."""
-        if self.tier == "ivf" and (self._ivf2 is None or k > 64):
+        tier = self._resolved_tier()
+        if tier == "ivf" and (self._ivf2 is None or k > 64):
             return "exact"
-        return self.tier
+        return tier
 
     def search_ops(self, tier: Optional[str] = None) -> Tuple:
         """Tier-correct operand tuple for search_core; hold _lock."""

@@ -28,6 +28,21 @@ def test_bundled_encoder_knows_english_synonyms():
     assert sims[0, 1] > sims[0, 2] + 0.15, sims
 
 
+def test_bundled_encoder_with_shorter_max_seq_len():
+    """config.max_seq_len < the checkpoint's max_len must crop the
+    pos_embed table, not raise ScopeParamShapeError at encode time
+    (regression: benchmarks config 2 sets max_seq_len=64)."""
+    cfg = RAGConfig().merged({"embedding": {"max_seq_len": 64}})
+    enc = build_encoder(cfg)
+    assert "bundled" in enc.name
+    assert enc.max_seq_len == 64
+    e = np.asarray(enc.encode(["a large automobile", "a big car",
+                               "banana smoothie recipe"]))
+    assert e.shape == (3, 384)
+    sims = e @ e.T
+    assert sims[0, 1] > sims[0, 2] + 0.15, sims
+
+
 def test_bundled_checkpoint_disable_and_dim_mismatch():
     cfg = RAGConfig().merged({"embedding": {"bundled_checkpoint": ""}})
     enc = build_encoder(cfg)

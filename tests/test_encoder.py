@@ -70,6 +70,41 @@ def test_truncation_long_text(enc):
     assert np.isfinite(emb).all()
 
 
+def test_seq_bucket_crop_matches_full_pad():
+    """Cropping all-PAD columns to the seq bucket must not change embeddings.
+
+    Short chunks in a long-max_seq_len encoder run at a pow-2 sequence
+    bucket (ingest FLOP saving); the cropped forward must agree with the
+    full-length padded forward to f32 tolerance.
+    """
+    import jax.numpy as jnp
+
+    e = MiniLMEncoder(
+        dim=64, max_seq_len=128, batch_size=8,
+        num_layers=2, num_heads=4, mlp_dim=128, vocab_size=1000,
+        dtype="float32",
+    )
+    texts = ["tiny", "a few more words here", "one"]
+    ids, mask = e.tokenizer.encode_batch(texts)
+    assert ids.shape[1] == 128
+    cids, cmask = e._crop_seq(ids, mask)
+    assert cids.shape[1] == 32  # bucketed, not full length
+    full = np.asarray(e._apply(e.params, jnp.asarray(ids), jnp.asarray(mask)))
+    got = e.encode(texts)
+    np.testing.assert_allclose(got, full, atol=1e-5)
+
+
+def test_seq_bucket_long_text_uses_full_length():
+    e = MiniLMEncoder(
+        dim=64, max_seq_len=64, batch_size=4,
+        num_layers=2, num_heads=4, mlp_dim=128, vocab_size=1000,
+        dtype="float32",
+    )
+    ids, mask = e.tokenizer.encode_batch(["word " * 200])
+    cids, _ = e._crop_seq(ids, mask)
+    assert cids.shape[1] == 64  # never crops below the real length
+
+
 # ---------------------------------------------------------------- tokenizer
 def test_hashing_tokenizer_static_shapes():
     tok = HashingTokenizer(vocab_size=1000, max_len=16)

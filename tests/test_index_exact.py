@@ -208,3 +208,39 @@ def test_int8_tier_returns_master_exact_scores(rng):
             a = ev[i][list(er[i]).index(r)]
             b = iv[i][list(ir[i]).index(r)]
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------------ auto tier
+def test_auto_tier_serves_int8_below_crossover(rng):
+    E = normalized(rng, 600, 64)
+    q = normalized(rng, 5, 64)
+    idx = DeviceIndex(dim=64, capacity=1024, tier="auto")
+    idx.add(E)
+    assert idx.effective_tier() == "int8"
+    assert idx._ivf2 is None  # no ANN build below the crossover
+    scores, rows = idx.search(q, 10)
+    ref_scores, ref_rows = brute_topk(E, q, 10)
+    np.testing.assert_array_equal(rows, ref_rows)  # int8 mixed is master-exact
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-5)
+
+
+def test_auto_tier_promotes_to_ivf_at_crossover(rng):
+    """Crossing _AUTO_IVF_ROWS on the write path must build the ANN
+    structure and serve ivf — searches stay correct through the switch."""
+    E = normalized(rng, 1500, 32)
+    q = normalized(rng, 4, 32)
+    idx = DeviceIndex(dim=32, capacity=2048, tier="auto",
+                      ivf_clusters=8, ivf_nprobe=8, ivf_rebuild_min=64)
+    idx._AUTO_IVF_ROWS = 1000  # instance override for a testable scale
+    idx.add(E[:900])
+    assert idx.effective_tier() == "int8"
+    s1, r1 = idx.search(q, 10)
+    np.testing.assert_array_equal(r1, brute_topk(E[:900], q, 10)[1])
+    idx.add(E[900:])  # crosses the threshold -> write-path promotion
+    assert idx.effective_tier() == "ivf"
+    assert idx._ivf2 is not None  # built from add(), not from a query
+    s2, r2 = idx.search(q, 10)
+    # nprobe == n_clusters: every cluster probed -> exact results
+    np.testing.assert_array_equal(r2, brute_topk(E, q, 10)[1])
+    tok = idx.search_token()
+    assert tok[0] == "ivf"  # promotion mints new search programs

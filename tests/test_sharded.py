@@ -444,3 +444,33 @@ def test_sharded_update_only_drift_triggers_rebuild(rng, mesh8):
     assert idx.ivf_rebuilds > builds0, "update-only drift never rebuilt"
     _, got = idx.search(moved[:8], 1)
     np.testing.assert_array_equal(got[:, 0], np.arange(8))
+
+
+def test_sharded_auto_tier_promotion(rng, mesh8, monkeypatch):
+    """tier="auto" on a mesh: int8 below the crossover, write-path
+    promotion to sharded ivf at/above — results stay correct."""
+    monkeypatch.setattr(DeviceIndex, "_AUTO_IVF_ROWS", 1000)
+    E = normalized(rng, 1600, 32)
+    q = normalized(rng, 4, 32)
+    exact = DeviceIndex(dim=32, tier="exact")
+    exact.add(E)
+    ev, er = exact.search(q, 10)
+    prefix = DeviceIndex(dim=32, tier="exact")
+    prefix.add(E[:900])
+    pv, pr = prefix.search(q, 10)
+    sharded = ShardedIndex(dim=32, mesh=mesh8, tier="auto", block_rows=256,
+                           ivf_clusters=8, ivf_nprobe=8, ivf_rebuild_min=64)
+    sharded.add(E[:900])
+    assert sharded._resolved_tier() == "int8"
+    assert sharded._ivf2 is None  # no ANN build below the crossover
+    v1, r1 = sharded.search(q, 10)
+    np.testing.assert_array_equal(r1, pr)  # int8 mixed is master-exact
+    np.testing.assert_allclose(v1, pv, rtol=1e-4, atol=1e-5)
+    sharded.add(E[900:])  # crosses the threshold
+    assert sharded._resolved_tier() == "ivf"
+    assert sharded._ivf2 is not None  # built from the write path
+    assert sharded.search_token(10)[0] == "ivf"
+    v2, r2 = sharded.search(q, 10)
+    # nprobe == n_clusters: every cluster probed -> exact results
+    np.testing.assert_array_equal(r2, er)
+    np.testing.assert_allclose(v2, ev, rtol=1e-4, atol=1e-5)
