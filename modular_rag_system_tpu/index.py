@@ -439,22 +439,25 @@ class DeviceIndex:
             np.savez(path, embeddings=live, count=self.count, dim=self.dim)
 
     @classmethod
-    def load(cls, path: str, tier: str = "exact", block_rows: int = 1024,
-             fused_bin_width: Optional[int] = None,
-             ivf_clusters: Optional[int] = None, ivf_nprobe: int = 8,
-             ivf_iters: int = 10,
-             ivf_refine_extra: Optional[int] = None,
-             ivf_balance: float = 0.0) -> "DeviceIndex":
+    def load(cls, path: str, tier: str = "exact",
+             **tier_kwargs) -> "DeviceIndex":
+        """Rebuild an index from a ``snapshot()`` file.
+
+        ``tier_kwargs`` passes through EVERY constructor knob
+        (``block_rows``, ``fused_bin_width``, all ``ivf_*`` including
+        ``ivf_fine_dtype``/``ivf_tail_frac``/``ivf_rebuild_min``/
+        ``ivf_balance``); unspecified knobs take the CLASS defaults,
+        which for ``ivf_balance`` (0.0, classic Lloyd's) differ from the
+        product config default (``IndexConfig.ivf_balance=1.5``) — when
+        restoring an engine-built snapshot, pass the engine's config
+        values to reproduce its build policy.  ``store_dtype`` is
+        inferred from the snapshot itself."""
         data = np.load(path)
         dim = int(data["dim"])
         count = int(data["count"])
         store_dtype = "bfloat16" if "embeddings_bf16" in data else "float32"
         idx = cls(dim=dim, capacity=max(count, 4096), tier=tier,
-                  block_rows=block_rows, store_dtype=store_dtype,
-                  fused_bin_width=fused_bin_width, ivf_clusters=ivf_clusters,
-                  ivf_nprobe=ivf_nprobe, ivf_iters=ivf_iters,
-                  ivf_refine_extra=ivf_refine_extra,
-                  ivf_balance=ivf_balance)
+                  store_dtype=store_dtype, **tier_kwargs)
         if count:
             idx.add(snapshot_embeddings(data)[:count])
         return idx

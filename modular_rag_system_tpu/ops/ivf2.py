@@ -123,6 +123,30 @@ _fill_chunk = functools.partial(
 )(_fill_chunk_core)
 
 
+def lbg_split_seeds(centroids_h: np.ndarray, cnts: np.ndarray,
+                    cap_rows: int, rng: np.random.Generator):
+    """Jittered centroid copies for clusters past ``cap_rows`` rows, or
+    ``None`` when already balanced — the pure LBG split move, shared by
+    the single-device (``_split_oversized``) and sharded
+    (``ShardedIndex.build_ann``) builders so the split criterion, jitter
+    scale, and seed semantics cannot drift between the two (their
+    cluster structures must agree for the 1-shard == N-shard result
+    invariant to hold on the ivf tier)."""
+    extra = np.maximum(np.ceil(cnts / cap_rows).astype(np.int64) - 1, 0)
+    if int(extra.sum()) == 0:
+        return None
+    src = np.repeat(np.arange(len(cnts)), extra)
+    base = np.asarray(centroids_h, np.float32)[src]
+    d = base.shape[1]
+    # small displacement (~0.05 of a unit row) keeps the copies inside
+    # their cluster; Lloyd's separates them along its internal
+    # structure (the LBG split move)
+    seeds = base + rng.standard_normal(base.shape).astype(np.float32) * (
+        0.05 / np.sqrt(d))
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+    return seeds
+
+
 def _split_oversized(E, count, centroids, labels, balance, seed_batch,
                      rounds: int = 2):
     """LBG-style cluster balancing: split clusters larger than
@@ -143,26 +167,15 @@ def _split_oversized(E, count, centroids, labels, balance, seed_batch,
     C0 = centroids.shape[0]
     cap_rows = max(int(np.ceil(balance * int(count) / C0)), SLAB)
     rng = np.random.default_rng(0)
-    d = E.shape[1]
     for _ in range(rounds):
         Ccur = centroids.shape[0]
         cnts = np.asarray(jax.jit(
             lambda l: jnp.bincount(
                 jnp.where(l >= 0, l, Ccur), length=Ccur + 1)[:Ccur]
         )(labels))
-        extra = np.maximum(np.ceil(cnts / cap_rows).astype(np.int64) - 1, 0)
-        n_new = int(extra.sum())
-        if n_new == 0:
+        seeds = lbg_split_seeds(np.asarray(centroids), cnts, cap_rows, rng)
+        if seeds is None:
             break
-        src = np.repeat(np.arange(Ccur), extra)
-        base = np.asarray(centroids)[src]
-        # small displacement (~0.05 of a unit row) keeps the copies
-        # inside their cluster; Lloyd's separates them along its
-        # internal structure (the LBG split move)
-        seeds = base + rng.standard_normal(base.shape).astype(np.float32) * (
-            0.05 / np.sqrt(d))
-        seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True),
-                            1e-12)
         cents = jnp.concatenate([centroids, jnp.asarray(seeds)], axis=0)
         centroids, labels = kmeans_fit(E, jnp.int32(count), cents, iters=3,
                                        batch=seed_batch)
@@ -718,6 +731,13 @@ def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
 # the constant-memory selecting kernel (only reachable by probe-all
 # configs on big corpora — serving nprobes keep L*SLAB*Q tiny)
 _DUMP_MAX_BYTES = 1 << 31
+# per-QUERY VMEM bound for the dump kernel: its out block per grid step
+# is the full (1, L//U, U*SLAB) f32 row = L*SLAB*4 bytes resident in
+# VMEM (fine_scores_call out_specs), independent of Q — a deep-nprobe
+# config at small Q passes the total-bytes cap above yet fails Mosaic
+# lowering.  4 MiB (L <= 4096 blocks at SLAB=256) leaves headroom for
+# the query block and the U slab tiles in a 16 MiB VMEM.
+_DUMP_VMEM_BYTES = 4 << 20
 
 
 def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
@@ -734,9 +754,19 @@ def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
     slot id everywhere); values may differ by accumulation-order ulps
     (harmless: the search core rescores candidates on the master)."""
     Q, L = blk.shape
-    if Q * L * SLAB * 4 <= _DUMP_MAX_BYTES:
+    if _use_dump(Q, L):
         return fine_call_xla(E_c3, scales3, q, blk, vcnt, k, U, interpret)
     return fine_call(E_c3, scales3, q, blk, vcnt, k, U, interpret)
+
+
+def _use_dump(Q: int, L: int) -> bool:
+    """True when the score-dump path is affordable: total HBM buffer
+    under _DUMP_MAX_BYTES AND the per-query VMEM-resident score row
+    under _DUMP_VMEM_BYTES (both bounds are per-Q-independent failure
+    modes — a deep-nprobe config at Q=1 passes the first and fails the
+    second)."""
+    return (Q * L * SLAB * 4 <= _DUMP_MAX_BYTES
+            and L * SLAB * 4 <= _DUMP_VMEM_BYTES)
 
 
 # ---------------------------------------------------------------------------

@@ -582,3 +582,56 @@ def test_fused_query_cache_is_bounded(fake_config):
     # the engine still answers correctly after evictions
     res = eng.query("document number 39", max_results=2)
     assert res.documents
+
+
+def test_filtered_refill_mid_range_k_sharded(fake_config):
+    """Round-3 review finding 1: refill k in (cap_s, kernel max] on a
+    sharded index must serve through the any-k deep route (previously
+    the fused path silently clamped k to cap_s and the search_core API
+    raised).  The rare docs rank just past cap_s but within the kernel
+    escalation range, so the pre-fix clamp could never reach them."""
+    import numpy as np
+
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from modular_rag_system_tpu.types import Document
+
+    cfg = fake_config.merged({
+        "retrieval": {"similarity_threshold": 0.0, "time_weight": 0.0},
+        "index": {"tier": "exact", "initial_capacity": 2048,
+                  "block_rows": 256},
+        "mesh": {"index_shards": 8},
+    })
+    eng = RAGEngine(cfg)
+    try:
+        assert isinstance(eng.index, ShardedIndex)
+        rng = np.random.default_rng(1)
+        d = eng.index.dim
+        # anchor on the ACTUAL query embedding so the rank layout holds
+        target = np.asarray(eng.encoder.encode(["probe text"]))[0]
+        target = (target / np.linalg.norm(target)).astype(np.float32)
+
+        def at_sim(n, cos):
+            g = rng.standard_normal((n, d)).astype(np.float32)
+            g -= (g @ target)[:, None] * target[None, :]
+            g /= np.linalg.norm(g, axis=1, keepdims=True)
+            v = cos * target[None, :] + np.sqrt(1 - cos * cos) * g
+            return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(
+                np.float32)
+
+        # 900 decoys at sim 0.8, 3 rare docs at sim 0.5: rare ranks are
+        # exactly 901-903 — past cap_s (256), within the 4x escalation
+        # ladder (k reaches min(1024, count))
+        decoys = at_sim(900, 0.8)
+        rare = at_sim(3, 0.5)
+        docs = [Document(content=f"decoy {i}", source="common",
+                         embedding=decoys[i]) for i in range(len(decoys))]
+        docs += [Document(content=f"rare {i}", source="rare",
+                          embedding=rare[i]) for i in range(3)]
+        eng.add_documents(docs)
+        assert eng.index.cap_s == 256
+        assert eng.index.cap_s < eng.index.count <= 1024
+        res = eng.query("probe text", max_results=3, source_filters=["rare"])
+        assert len(res.documents) == 3
+        assert all(d.source == "rare" for d in res.documents)
+    finally:
+        eng.shutdown()

@@ -244,3 +244,23 @@ def test_auto_tier_promotes_to_ivf_at_crossover(rng):
     np.testing.assert_array_equal(r2, brute_topk(E, q, 10)[1])
     tok = idx.search_token()
     assert tok[0] == "ivf"  # promotion mints new search programs
+
+
+def test_device_load_full_knob_passthrough(rng, tmp_path):
+    """DeviceIndex.load forwards EVERY constructor knob (round-3 review
+    finding 4: ivf_fine_dtype/ivf_tail_frac/ivf_rebuild_min dropped)."""
+    idx = DeviceIndex(dim=24)
+    idx.add(normalized(rng, 40, 24))
+    p = str(tmp_path / "knobs.npz")
+    idx.snapshot(p)
+    back = DeviceIndex.load(
+        p, tier="ivf", block_rows=128, fused_bin_width=128,
+        ivf_clusters=4, ivf_nprobe=2, ivf_iters=3, ivf_fine_dtype="int8",
+        ivf_tail_frac=0.5, ivf_rebuild_min=9, ivf_balance=1.25,
+    )
+    assert back.ivf_fine_dtype == "int8"
+    assert back.ivf_tail_frac == 0.5
+    assert back.ivf_rebuild_min == 9
+    assert back.ivf_balance == 1.25
+    assert back.block_rows == 128
+    assert back.count == 40

@@ -387,3 +387,20 @@ def test_ivf_large_query_batch(rng):
     np.testing.assert_allclose(s_big[:37], s_small, rtol=1e-6, atol=1e-6)
     # self-retrieval across the whole batch
     np.testing.assert_array_equal(r_big[:, 0], np.arange(300))
+
+
+def test_dump_path_guard_bounds_per_query_vmem():
+    """fine_call_auto must reject configs whose PER-QUERY score row
+    exceeds the VMEM budget even when the total buffer is tiny (round-3
+    review finding 2: a deep-nprobe single-query config passed the
+    total-bytes cap but failed Mosaic lowering)."""
+    from modular_rag_system_tpu.ops.ivf2 import (
+        _DUMP_VMEM_BYTES,
+        SLAB,
+        _use_dump,
+    )
+
+    ok_L = _DUMP_VMEM_BYTES // (SLAB * 4)
+    assert _use_dump(1, ok_L)
+    assert not _use_dump(1, ok_L * 2)  # tiny total, oversized per-query row
+    assert not _use_dump(4096, 8192)  # oversized total

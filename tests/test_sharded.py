@@ -474,3 +474,94 @@ def test_sharded_auto_tier_promotion(rng, mesh8, monkeypatch):
     # nprobe == n_clusters: every cluster probed -> exact results
     np.testing.assert_array_equal(r2, er)
     np.testing.assert_allclose(v2, ev, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("tier", ["exact", "int8"])
+def test_search_core_deep_k_beyond_cap_s(rng, mesh8, tier):
+    """cap_s < k <= the engine's kernel max must route to the any-k deep
+    program instead of raising from the per-shard ``lax.top_k`` (round-3
+    review finding 1), on every tier — the deep route is tier-agnostic."""
+    import jax.numpy as jnp
+
+    d = 16
+    idx = ShardedIndex(dim=d, mesh=mesh8, capacity=512, tier=tier,
+                       block_rows=32)
+    E = normalized(rng, 400, d)
+    idx.add(E)
+    assert idx.cap_s == 64
+    k = 300  # > cap_s, <= S * cap_s
+    assert idx._effective_tier(k) == "deep"
+    q = normalized(rng, 8, d)
+    fn = idx.search_core(8, k)  # previously: ValueError from top_k
+    with idx._lock:
+        ops = idx.search_ops(idx._effective_tier(k))
+        vals, gids = fn(ops, idx.count_device(), jnp.asarray(q))
+    vals, gids = np.asarray(vals), np.asarray(gids)
+    assert vals.shape == (8, k) and gids.shape == (8, k)
+    ref = q @ E.T
+    for i in range(3):
+        order = np.lexsort((np.arange(400), -ref[i]))[:k]
+        np.testing.assert_array_equal(gids[i], order)
+        np.testing.assert_allclose(vals[i], ref[i][order], rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_search_public_no_longer_clamps_k_to_cap_s(rng, mesh8):
+    """VERDICT r2 weakness 8: ``search(q, k)`` with cap_s < k <= S*cap_s
+    serves the any-k deep program instead of silently returning cap_s
+    candidates padded with -inf."""
+    d = 16
+    idx = ShardedIndex(dim=d, mesh=mesh8, capacity=512, tier="exact",
+                       block_rows=32)
+    E = normalized(rng, 400, d)
+    idx.add(E)
+    q = normalized(rng, 2, d)
+    k = 300
+    vals, gids = idx.search(q, k)
+    assert vals.shape == (2, k)
+    assert np.isfinite(vals).all()  # real candidates, not -inf padding
+    ref = q @ E.T
+    for i in range(2):
+        order = np.lexsort((np.arange(400), -ref[i]))[:k]
+        np.testing.assert_array_equal(gids[i], order)
+
+
+def test_sharded_load_full_knob_passthrough(rng, mesh8, tmp_path):
+    """load() forwards EVERY constructor knob (round-3 review finding 4:
+    ivf_fine_dtype/ivf_tail_frac/ivf_rebuild_min were dropped)."""
+    idx = ShardedIndex(dim=32, mesh=mesh8, tier="exact", block_rows=256)
+    idx.add(normalized(rng, 60, 32))
+    p = str(tmp_path / "knobs.npz")
+    idx.snapshot(p)
+    back = ShardedIndex.load(
+        p, mesh=mesh8, tier="ivf", block_rows=128, fused_bin_width=128,
+        ivf_clusters=4, ivf_nprobe=2, ivf_iters=3, ivf_fine_dtype="int8",
+        ivf_tail_frac=0.5, ivf_rebuild_min=7, ivf_balance=1.25,
+    )
+    assert back.ivf_fine_dtype == "int8"
+    assert back.ivf_tail_frac == 0.5
+    assert back.ivf_rebuild_min == 7
+    assert back.ivf_balance == 1.25
+    assert back.block_rows == 128
+    assert back.count == 60
+
+
+def test_build_programs_cached_across_rebuilds(rng, mesh8):
+    """Write-path re-clusters reuse the jitted fill/order-counts programs
+    (round-3 review finding 3: fresh closures re-paid XLA compilation of
+    the fill pipeline inside the index lock on every rebuild)."""
+    idx = ShardedIndex(dim=16, mesh=mesh8, tier="ivf", block_rows=256,
+                       ivf_clusters=4, ivf_nprobe=4, ivf_rebuild_min=1,
+                       ivf_tail_frac=0.0, ivf_balance=0.0)
+    E = normalized(rng, 600, 16)
+    idx.add(E[:300])
+    assert idx._ivf2 is not None
+    progs_after_first = dict(idx._build_prog_cache)
+    assert any(k[0] == "fill" for k in progs_after_first)
+    idx.add(E[300:])  # re-fires the rebuild threshold
+    assert idx.ivf_rebuilds >= 2
+    for key, fn in progs_after_first.items():
+        assert idx._build_prog_cache.get(key) is fn, (
+            f"program {key} was rebuilt instead of reused")
+    _, got = idx.search(E[:4], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(4))
