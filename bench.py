@@ -132,8 +132,11 @@ def main() -> int:
         E_q, scales = quantize_rows(Ej)
 
         def int8_tier(Eq, sc, E16, qq):
+            # block_rows=8192: int8 tiles are 1 byte/elem so the bigger
+            # DMA fits VMEM and measures faster (677 vs 642 GB/s pass-1,
+            # tools/exp_int8_pass1_sweep.py)
             return twopass_topk_int8_master_raw(Eq, sc, E16, cnt, qq, k,
-                                                4096, 32, interp)
+                                                8192, 32, interp)
 
         @functools.partial(jax.jit, static_argnames=("m",))
         def chain_i8(Eq, sc, E16, qs, m):

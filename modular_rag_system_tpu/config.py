@@ -36,6 +36,12 @@ class EmbeddingConfig:
     cache_size: int = 4096
     # Compute dtype for the encoder forward (bf16 feeds the MXU).
     dtype: str = "bfloat16"
+    # Self-attention implementation: "dense" (XLA; right at <=512
+    # tokens) or "flash" (Pallas memory-efficient attention,
+    # ops/flash_attention.py — scores stay in VMEM, O(L) HBM; use for
+    # long-context encoders, max_seq_len >= ~1024, where the dense
+    # path's (B, H, L, L) score tensor no longer fits).
+    attention_impl: str = "dense"
     # MiniLM-L6-class architecture (all-MiniLM-L6-v2 shape: 6 layers,
     # hidden 384, 12 heads, FFN 1536, WordPiece vocab 30522)
     num_layers: int = 6

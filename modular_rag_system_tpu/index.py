@@ -510,9 +510,14 @@ def stream_search_core(E, count, q, k: int, block_rows: int, bin_width,
     bw = auto_bin_width(cap)
     interpret = _use_interpret()
     if bin_width is None and cap >= _MIN_TWOPASS_CAP and cap // bw >= k + 1:
-        br = min(max(block_rows, 4096), cap,
-                 _max_block_rows(E.shape[1],
-                                 jnp.bfloat16 if int8 else E.dtype))
+        # int8 pass-1: HBM traffic is 1 byte/elem so a 2x-bf16-budget
+        # tile (8192 rows at d=384) still fits VMEM even after the
+        # kernel widens it to bf16 in VMEM, and the bigger DMA measures
+        # faster (tools/exp_int8_pass1_sweep.py: 677 vs 642 GB/s)
+        br = (min(max(block_rows, 8192), cap,
+                  2 * _max_block_rows(E.shape[1], jnp.bfloat16)) if int8
+              else min(max(block_rows, 4096), cap,
+                       _max_block_rows(E.shape[1], E.dtype)))
         if int8 and master is not None:
             return twopass_topk_int8_master_raw(
                 E, scales.reshape(-1), master, count, q, k, br, bw,

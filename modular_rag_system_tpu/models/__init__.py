@@ -68,6 +68,7 @@ def build_encoder(config):
                 num_heads=config.embedding.num_heads,
                 mlp_dim=config.embedding.mlp_dim,
                 vocab_size=config.embedding.vocab_size,
+                attention_impl=config.embedding.attention_impl,
             )
         except Exception:
             if model == "minilm":

@@ -116,6 +116,7 @@ def try_build_default_encoder(config):
         vocab_size=arch["vocab_size"],
         tokenizer=tok,
         params=params,
+        attention_impl=config.embedding.attention_impl,
     )
     enc.name = f"minilm-l{arch['num_layers']}-h{arch['hidden']}-bundled"
     return enc

@@ -41,16 +41,37 @@ class TransformerBlock(nn.Module):
     heads: int
     mlp_dim: int
     dtype: Any
+    attention_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x, pad_mask):
         # post-LN BERT block (residual -> add -> LayerNorm)
-        attn_mask = nn.make_attention_mask(pad_mask, pad_mask, dtype=self.dtype)
-        a = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads,
-            dtype=self.dtype,
-            deterministic=True,
-        )(x, x, mask=attn_mask)
+        if self.attention_impl == "flash":
+            # Pallas memory-efficient attention: scores stay in VMEM,
+            # the (B, 1, L, L) mask tensor is never built — the
+            # long-context path (ops/flash_attention.py).  Same param
+            # tree as the dense branch (attention_fn does not own
+            # params), so HF/bundled checkpoints load on either.
+            from modular_rag_system_tpu.ops.flash_attention import (
+                flash_attention_fn,
+            )
+            from modular_rag_system_tpu.ops.fused_topk import _use_interpret
+
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads,
+                dtype=self.dtype,
+                deterministic=True,
+                attention_fn=flash_attention_fn(
+                    pad_mask, interpret=_use_interpret()),
+            )(x, x)
+        else:
+            attn_mask = nn.make_attention_mask(
+                pad_mask, pad_mask, dtype=self.dtype)
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads,
+                dtype=self.dtype,
+                deterministic=True,
+            )(x, x, mask=attn_mask)
         # BERT-exact numerics so HF-loaded weights reproduce upstream
         # embeddings: erf gelu (not the tanh approximation) and LN eps
         # 1e-12 (flax default is 1e-6).
@@ -70,6 +91,7 @@ class SentenceEncoderModule(nn.Module):
     mlp_dim: int = 1536
     max_len: int = 256
     dtype: Any = jnp.bfloat16
+    attention_impl: str = "dense"  # "flash" = Pallas long-context path
 
     @nn.compact
     def __call__(self, ids, mask):
@@ -84,7 +106,8 @@ class SentenceEncoderModule(nn.Module):
         )
         for i in range(self.layers):
             x = TransformerBlock(
-                self.hidden, self.heads, self.mlp_dim, self.dtype, name=f"block_{i}"
+                self.hidden, self.heads, self.mlp_dim, self.dtype,
+                attention_impl=self.attention_impl, name=f"block_{i}"
             )(x, mask)
         # masked mean pool in f32, then L2 norm
         m = mask.astype(jnp.float32)[..., None]
@@ -128,6 +151,7 @@ class MiniLMEncoder:
         tokenizer=None,
         params=None,
         seed: int = 0,
+        attention_impl: str = "dense",
     ) -> None:
         self.dim = dim
         self.max_seq_len = max_seq_len
@@ -141,6 +165,7 @@ class MiniLMEncoder:
             mlp_dim=mlp_dim,
             max_len=max_seq_len,
             dtype=_dtype_of(dtype),
+            attention_impl=attention_impl,
         )
         self.name = f"minilm-l{num_layers}-h{dim}"
         if params is None:

@@ -144,4 +144,5 @@ def try_build_pretrained_encoder(config):
         vocab_size=arch["vocab_size"],
         tokenizer=tok,
         params=params,
+        attention_impl=config.embedding.attention_impl,
     )

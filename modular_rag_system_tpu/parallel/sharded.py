@@ -665,8 +665,12 @@ class ShardedIndex:
                 bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
                         and cap_s // bw >= k + 1):
-                    br = min(max(block_rows, 4096), cap_s,
-                             _max_block_rows(E_s.shape[1], jnp.bfloat16))
+                    # int8 pass-1: 2x-bf16-budget tile still fits VMEM
+                    # after the kernel's bf16 widening, and the bigger
+                    # DMA measures faster (tools/exp_int8_pass1_sweep.py)
+                    br = min(max(block_rows, 8192), cap_s,
+                             2 * _max_block_rows(E_s.shape[1],
+                                                 jnp.bfloat16))
                     vals, loc = twopass_topk_int8_master_raw(
                         E_s, scales_s.reshape(-1), master_s[0], count_s,
                         q, k, br, bw, interpret,

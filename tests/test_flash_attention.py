@@ -1,0 +1,84 @@
+"""Pallas memory-efficient attention vs the dense flax reference.
+
+CPU runs the kernel in interpret mode (Python-loop slow — shapes kept
+tiny, conftest sizing note for kernel-heavy paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+from modular_rag_system_tpu.ops.flash_attention import mea_attention
+
+
+def _dense_reference(q, k, v, pad_mask):
+    """flax semantics: masked scores at a large finite negative."""
+    B, L, H, dh = q.shape
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k).astype(jnp.float32)
+    s = s / np.sqrt(dh)
+    s = jnp.where(pad_mask[:, None, None, :] > 0, s, -1e9)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", p.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("dh", [32, 64])
+def test_mea_matches_dense(rng, dh):
+    B, L, H = 2, 40, 3
+    q = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    pad = np.ones((B, L), np.int32)
+    pad[0, 25:] = 0  # ragged padding
+    pad[1, 10:] = 0
+    got = np.asarray(mea_attention(q, k, v, jnp.asarray(pad),
+                                   interpret=True))
+    ref = np.asarray(_dense_reference(q, k, v, jnp.asarray(pad)))
+    # compare only live query rows (pad rows are dropped by pooling)
+    for b, live in ((0, 25), (1, 10)):
+        np.testing.assert_allclose(got[b, :live], ref[b, :live],
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_mea_all_pad_row_is_finite(rng):
+    """An all-pad batch row must produce FINITE attention output (flax
+    masks with -1e9, not -inf — NaNs would poison the mean pool)."""
+    B, L, H, dh = 2, 16, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    pad = np.zeros((B, L), np.int32)
+    pad[0, :5] = 1  # row 1 is ALL pad
+    got = np.asarray(mea_attention(q, q, q, jnp.asarray(pad),
+                                   interpret=True))
+    assert np.isfinite(got).all()
+
+
+def test_flash_encoder_matches_dense_encoder(rng):
+    """Same params, attention_impl="flash" vs "dense": identical
+    embeddings to f32 tolerance — the kernel is a drop-in for loaded
+    checkpoints (the attention_fn owns no params)."""
+    kw = dict(dim=64, max_seq_len=64, batch_size=4, num_layers=2,
+              num_heads=2, mlp_dim=128, vocab_size=1000, dtype="float32")
+    dense = MiniLMEncoder(**kw)
+    flash = MiniLMEncoder(**kw, attention_impl="flash",
+                          params=dense.params)
+    texts = ["a short one", "a slightly longer sentence with more words",
+             "third"]
+    e_d = dense.encode(texts)
+    e_f = flash.encode(texts)
+    np.testing.assert_allclose(e_f, e_d, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_config_plumbing(tmp_path):
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.models import build_encoder
+
+    cfg = RAGConfig().merged({
+        "embedding": {"model": "minilm", "attention_impl": "flash",
+                      "bundled_checkpoint": "", "max_seq_len": 32,
+                      "num_layers": 2, "num_heads": 2, "mlp_dim": 64,
+                      "dim": 32, "vocab_size": 500, "batch_size": 4},
+    })
+    enc = build_encoder(cfg)
+    assert enc.module.attention_impl == "flash"
+    e = enc.encode(["flash attention end to end"])
+    assert e.shape == (1, 32) and np.isfinite(e).all()
