@@ -114,10 +114,12 @@ def config2_ingest_100k(scale):
     from modular_rag_system_tpu.types import Document
 
     # warm the WHOLE ingest pipeline (encode_device shapes, index
-    # append, dedup programs) with a full-batch add so the reported
-    # rate is the steady state, not one-time jit compiles — measured
-    # ~20 s of XLA compilation otherwise (profiled in r3.6)
-    warm_n = min(cfg.embedding.batch_size, len(texts))
+    # append, dedup programs) with a full multi-batch-group add so the
+    # reported rate is the steady state, not one-time jit compiles —
+    # measured ~20 s of XLA compilation otherwise (r3.6); the r3.7
+    # multi-batch dispatch adds one (G=16, bs, bucket) program that
+    # must also be warmed
+    warm_n = min(cfg.embedding.batch_size * 16, len(texts))
     eng.add_documents([Document(content=t) for t in texts[:warm_n]])
     rest = texts[warm_n:]
     t0 = time.perf_counter()

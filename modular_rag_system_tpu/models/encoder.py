@@ -182,6 +182,19 @@ class MiniLMEncoder:
         self._apply = jax.jit(
             lambda p, ids, mask: self.module.apply({"params": p}, ids, mask)
         )
+        # multi-batch forward: ONE dispatch runs G stacked batches via an
+        # on-device loop.  In this environment every dispatch pays a
+        # ~26 ms relay round trip, and JAX's async dispatch does not
+        # pipeline across the relay — bulk ingest at one-dispatch-per-
+        # batch was measured RTT-bound (391 batches for 100k chunks ~=
+        # the entire 12 s ingest).  lax.map compiles the forward once
+        # and loops on device, so G batches cost one RTT.
+        self._apply_many = jax.jit(
+            lambda p, ids3, mask3: jax.lax.map(
+                lambda im: self.module.apply({"params": p}, im[0], im[1]),
+                (ids3, mask3),
+            )
+        )
 
     # ------------------------------------------------------------------
     def _crop_seq(self, ids: np.ndarray, mask: np.ndarray):
@@ -241,6 +254,17 @@ class MiniLMEncoder:
             drain_one()
         return out
 
+    # batches per multi-batch dispatch: 16 amortizes the relay RTT 16x.
+    # Every multi-batch group pads (by repeating its last batch) to
+    # EXACTLY this G, so one (16, bs, bucket) program per bucket is the
+    # ONLY multi-batch shape — pow2 decomposition was tried first and
+    # each tail shape paid a fresh ~10-30 s remote XLA compile, which
+    # dominated a 100k-chunk ingest.  Pad waste is < G batches total.
+    _MULTI_G = 16
+    # below this many batches the repeat-padding waste (up to G-n of G)
+    # outweighs the saved round trips — dispatch singly instead
+    _MULTI_MIN_BATCHES = 6
+
     def encode_device(self, texts: Sequence[str]):
         """Encode and RETURN A DEVICE ARRAY (N, dim) f32.
 
@@ -249,24 +273,57 @@ class MiniLMEncoder:
         two full corpus transfers through the device link.  The result is
         O(N * dim) device memory by design (it becomes index rows);
         callers ingesting beyond free HBM should batch their add_documents
-        calls."""
-        import jax
+        calls.
 
+        Batches are grouped by sequence bucket and dispatched up to
+        ``_MULTI_G`` at a time through ``_apply_many`` (one on-device
+        loop = one relay round trip; the per-batch path was measured
+        RTT-bound at ~10k chunks/s bulk)."""
         if not texts:
             return jnp.zeros((0, self.dim), jnp.float32)
         bs = self.batch_size
-        parts = []
-        for i in range(0, len(texts), bs):
+        n_batches = (len(texts) + bs - 1) // bs
+        # tokenize + bucket every batch first (host-side, cheap next to
+        # the forward: native WordPiece runs ~552k texts/s)
+        staged = []  # (batch_idx, bucket, ids, mask, n)
+        for bi, i in enumerate(range(0, len(texts), bs)):
             chunk = list(texts[i : i + bs])
             ids, mask = self.tokenizer.encode_batch(chunk)
             ids, mask = self._crop_seq(ids, mask)
             n = len(chunk)
-            padded = min(_next_pow2(n), bs)
+            if n_batches >= self._MULTI_MIN_BATCHES:
+                padded = bs  # uniform rows so bucket-mates stack
+            else:
+                padded = min(_next_pow2(n), bs)
             if padded > n:
                 ids = np.pad(ids, ((0, padded - n), (0, 0)))
                 mask = np.pad(mask, ((0, padded - n), (0, 0)))
-            emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            parts.append(emb[:n])
+            staged.append((bi, ids.shape[1], ids, mask, n))
+        parts: list = [None] * n_batches
+        if n_batches < self._MULTI_MIN_BATCHES:
+            for bi, _, ids, mask, n in staged:
+                emb = self._apply(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask))
+                parts[bi] = emb[:n]
+        else:
+            by_bucket: dict = {}
+            for item in staged:
+                by_bucket.setdefault(item[1], []).append(item)
+            G = self._MULTI_G
+            for bucket, items in by_bucket.items():
+                for pos in range(0, len(items), G):
+                    group = items[pos : pos + G]
+                    pad = G - len(group)
+                    stack_i = [it[2] for it in group]
+                    stack_m = [it[3] for it in group]
+                    if pad:  # repeat the last batch: ONE stable shape
+                        stack_i += [stack_i[-1]] * pad
+                        stack_m += [stack_m[-1]] * pad
+                    ids3 = jnp.asarray(np.stack(stack_i))
+                    mask3 = jnp.asarray(np.stack(stack_m))
+                    emb3 = self._apply_many(self.params, ids3, mask3)
+                    for gi, (bi, _, _, _, n) in enumerate(group):
+                        parts[bi] = emb3[gi, :n]
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return out.astype(jnp.float32)
 

@@ -143,3 +143,24 @@ def test_wordpiece_tokenizer_greedy():
 def test_token_count_used_by_chunker():
     tok = HashingTokenizer(vocab_size=1000, max_len=64)
     assert tok.token_count("one two three") == 5  # 3 words + CLS + SEP
+
+
+def test_encode_device_multibatch_matches_per_batch():
+    """Bulk encode_device groups batches into multi-batch dispatches
+    (lax.map) — results must match the per-batch path in VALUE and
+    ORDER across buckets, pow2 group decomposition, and a ragged tail."""
+    e = MiniLMEncoder(
+        dim=32, max_seq_len=128, batch_size=8,
+        num_layers=2, num_heads=2, mlp_dim=64, vocab_size=1000,
+        dtype="float32",
+    )
+    # 43 texts = 6 batches of 8 (G=4+2 decomposition) + ragged tail of 3;
+    # the first two batches are all-short so their BATCH bucket (32)
+    # differs from the later batches' (64) — exercises per-bucket groups
+    texts = []
+    for i in range(43):
+        texts.append(f"w{i} " * 3 if i < 16 else "word " * 40 + f"t{i}")
+    got = np.asarray(e.encode_device(texts))
+    ref = e.encode(texts)
+    assert got.shape == ref.shape == (43, 32)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
