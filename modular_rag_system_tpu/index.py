@@ -510,10 +510,14 @@ def stream_search_core(E, count, q, k: int, block_rows: int, bin_width,
     bw = auto_bin_width(cap)
     interpret = _use_interpret()
     if bin_width is None and cap >= _MIN_TWOPASS_CAP and cap // bw >= k + 1:
-        # int8 pass-1: HBM traffic is 1 byte/elem so a 2x-bf16-budget
-        # tile (8192 rows at d=384) still fits VMEM even after the
-        # kernel widens it to bf16 in VMEM, and the bigger DMA measures
-        # faster (tools/exp_int8_pass1_sweep.py: 677 vs 642 GB/s)
+        # int8 pass-1 tiles stay 1 byte/elem IN VMEM (the binmax kernel
+        # dots int8 x int8 -> int32 directly, no bf16 widening), so a
+        # 2x-bf16-budget tile (8192 rows at d=384 = 3 MB, 6 MB double-
+        # buffered) fits the 10 MB budget and the bigger DMA measures
+        # faster (tools/exp_int8_pass1_sweep.py: 677 vs 642 GB/s).
+        # NOTE: this 2x is NOT safe for kernels that widen the tile
+        # (e.g. the single-pass _fused_kernel_int8) — 8192x384 bf16
+        # alone is 6 MB before double-buffering.
         br = (min(max(block_rows, 8192), cap,
                   2 * _max_block_rows(E.shape[1], jnp.bfloat16)) if int8
               else min(max(block_rows, 4096), cap,

@@ -153,6 +153,11 @@ class MiniLMEncoder:
         seed: int = 0,
         attention_impl: str = "dense",
     ) -> None:
+        if attention_impl not in ("dense", "flash"):
+            raise ValueError(
+                f"attention_impl must be 'dense' or 'flash', got "
+                f"{attention_impl!r}"
+            )
         self.dim = dim
         self.max_seq_len = max_seq_len
         self.batch_size = batch_size
@@ -259,11 +264,18 @@ class MiniLMEncoder:
     # EXACTLY this G, so one (16, bs, bucket) program per bucket is the
     # ONLY multi-batch shape — pow2 decomposition was tried first and
     # each tail shape paid a fresh ~10-30 s remote XLA compile, which
-    # dominated a 100k-chunk ingest.  Pad waste is < G batches total.
+    # dominated a 100k-chunk ingest.  Pad waste is < G batches per
+    # bucket GROUP, and groups of <= _MULTI_SINGLE_MAX items skip the
+    # multi path entirely (see below), bounding waste at ~3x per tail.
     _MULTI_G = 16
     # below this many batches the repeat-padding waste (up to G-n of G)
     # outweighs the saved round trips — dispatch singly instead
     _MULTI_MIN_BATCHES = 6
+    # a bucket group this small dispatches per-batch: repeat-padding
+    # 1-4 batches to G=16 costs up to 15 redundant full forwards (~16x
+    # device compute for a mixed-length corpus whose batches land in
+    # distinct buckets) to save at most 3 ~26 ms round trips
+    _MULTI_SINGLE_MAX = _MULTI_G // 4
 
     def encode_device(self, texts: Sequence[str]):
         """Encode and RETURN A DEVICE ARRAY (N, dim) f32.
@@ -313,6 +325,16 @@ class MiniLMEncoder:
             for bucket, items in by_bucket.items():
                 for pos in range(0, len(items), G):
                     group = items[pos : pos + G]
+                    if len(group) <= self._MULTI_SINGLE_MAX:
+                        # tiny group (lone bucket or short tail):
+                        # repeat-padding to G would cost up to G-1
+                        # redundant forwards per saved round trip
+                        for bi, _, ids, mask, n in group:
+                            emb = self._apply(self.params,
+                                              jnp.asarray(ids),
+                                              jnp.asarray(mask))
+                            parts[bi] = emb[:n]
+                        continue
                     pad = G - len(group)
                     stack_i = [it[2] for it in group]
                     stack_m = [it[3] for it in group]

@@ -8,10 +8,11 @@ long-context encoder variant (``embedding.attention_impl="flash"``)
 lets whole documents embed as ONE sequence when an operator wants
 document-level vectors.
 
-Why a kernel: XLA's dense path materializes the (B, H, L, L) score
-tensor through HBM — at L=2048, B=64, H=12 that is 6.4 GB of bf16
-intermediate (OOM on one chip well before the model itself matters).
-This kernel keeps each query block's score row strictly in VMEM:
+Why a kernel: the dense path streams the (B, H, L, L) score tensor
+through HBM (XLA fuses it memory-efficiently enough not to OOM — a
+naive 25.8 GB score shape at B=256, L=2048 runs fine, see
+docs/kernels.md — but the traffic is still O(L^2) per head).  This
+kernel keeps each query block's score row strictly in VMEM:
 
   grid (B*H, L/blk_q); per step DMA one q block + the full K/V for that
   head (L <= a few k tokens: K+V at dh_p=128 is L * 512 B — 2 MB at
@@ -83,6 +84,11 @@ def mea_attention(q, k, v, pad_mask, *, interpret: bool = False,
     dh_p = _round_up(dh, _LANE)
     Lp = _round_up(L, _LANE)
     blk_q = min(blk_q, Lp)
+    # the grid must cover every query row: round Lp up to a blk_q
+    # multiple so a non-divisible tail (e.g. L=600 -> Lp=640 with
+    # blk_q=512) gets its own block instead of being silently dropped
+    # (uninitialized output rows poison the mean pool with NaN)
+    Lp = _round_up(Lp, blk_q)
     nq = Lp // blk_q
 
     def prep(x):

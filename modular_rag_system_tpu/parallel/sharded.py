@@ -665,9 +665,11 @@ class ShardedIndex:
                 bw = auto_bin_width(cap_s)
                 if (bin_width is None and cap_s >= _MIN_TWOPASS_CAP
                         and cap_s // bw >= k + 1):
-                    # int8 pass-1: 2x-bf16-budget tile still fits VMEM
-                    # after the kernel's bf16 widening, and the bigger
-                    # DMA measures faster (tools/exp_int8_pass1_sweep.py)
+                    # int8 pass-1 tiles stay 1 byte/elem in VMEM (the
+                    # binmax kernel dots int8 x int8 -> int32, no bf16
+                    # widening), so 2x the bf16 row budget fits and the
+                    # bigger DMA measures faster (see index.py twin
+                    # comment + tools/exp_int8_pass1_sweep.py)
                     br = min(max(block_rows, 8192), cap_s,
                              2 * _max_block_rows(E_s.shape[1],
                                                  jnp.bfloat16))

@@ -146,21 +146,26 @@ def test_token_count_used_by_chunker():
 
 
 def test_encode_device_multibatch_matches_per_batch():
-    """Bulk encode_device groups batches into multi-batch dispatches
-    (lax.map) — results must match the per-batch path in VALUE and
-    ORDER across buckets, pow2 group decomposition, and a ragged tail."""
+    """Bulk encode_device groups batches by sequence bucket and
+    dispatches them G=16 at a time through the lax.map multi-batch
+    program (repeat-padding ragged groups to the one stable shape);
+    groups of <= _MULTI_SINGLE_MAX batches fall back to per-batch
+    dispatch (repeat-padding a lone batch to 16 would burn 15 redundant
+    forwards).  Results must match the per-batch path in VALUE and
+    ORDER across buckets, both dispatch modes, and a ragged tail."""
     e = MiniLMEncoder(
         dim=32, max_seq_len=128, batch_size=8,
         num_layers=2, num_heads=2, mlp_dim=64, vocab_size=1000,
         dtype="float32",
     )
-    # 43 texts = 6 batches of 8 (G=4+2 decomposition) + ragged tail of 3;
-    # the first two batches are all-short so their BATCH bucket (32)
-    # differs from the later batches' (64) — exercises per-bucket groups
+    # 75 texts = 9 batches of 8 + ragged tail of 3.  Batches 0-1 are
+    # all-short so their bucket (32) differs from batches 2-9's (64):
+    # the short bucket's group of 2 takes the single-dispatch fallback,
+    # the long bucket's group of 8 takes the multi path with repeat-pad
     texts = []
-    for i in range(43):
+    for i in range(75):
         texts.append(f"w{i} " * 3 if i < 16 else "word " * 40 + f"t{i}")
     got = np.asarray(e.encode_device(texts))
     ref = e.encode(texts)
-    assert got.shape == ref.shape == (43, 32)
+    assert got.shape == ref.shape == (75, 32)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)

@@ -82,3 +82,30 @@ def test_flash_config_plumbing(tmp_path):
     assert enc.module.attention_impl == "flash"
     e = enc.encode(["flash attention end to end"])
     assert e.shape == (1, 32) and np.isfinite(e).all()
+
+
+def test_mea_tail_query_block_covered(rng):
+    """A padded length that is NOT a multiple of blk_q must still cover
+    every query row: the grid rounds Lp up to a blk_q multiple (the
+    floor-divide dropped the tail block — rows past the last full block
+    came back uninitialized/NaN and poisoned the mean pool)."""
+    B, L, H, dh = 1, 100, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, dh)), jnp.float32)
+    pad = jnp.ones((B, L), jnp.int32)
+    # blk_q=96 does not divide the lane-rounded Lp=128 -> tail block
+    got = np.asarray(mea_attention(q, k, v, pad, interpret=True,
+                                   blk_q=96))
+    ref = np.asarray(_dense_reference(q, k, v, pad))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_attention_impl_validated():
+    """Unknown attention_impl values raise instead of silently running
+    the dense path (a typo like "Flash" must not lose the kernel)."""
+    kw = dict(dim=32, max_seq_len=32, batch_size=2, num_layers=1,
+              num_heads=2, mlp_dim=64, vocab_size=500, dtype="float32")
+    with pytest.raises(ValueError, match="attention_impl"):
+        MiniLMEncoder(**kw, attention_impl="Flash")
