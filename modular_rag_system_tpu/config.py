@@ -102,8 +102,12 @@ class IndexConfig:
     # nprobe=2 103k -> 179k @ recall 1.0000; build 31 -> 61 s.
     # 0 = off (classic Lloyd's).
     ivf_balance: float = 1.5
-    # fine-stage storage: "bf16" | "int8" | "auto" (int8 past 4M rows —
-    # HBM: a 10M bf16 fine copy next to the master does not fit one v5e)
+    # fine-stage storage: "bf16" | "int8" | "int4" | "auto" (int8 past
+    # 4M rows — HBM: a 10M bf16 fine copy next to the master does not
+    # fit one v5e).  int4 packs two rows per byte and halves the
+    # fine-stage DMA again; 4-bit scores only rank candidates (the
+    # master rescore keeps returned scores exact), costing ~0-1pt of
+    # recall at a given nprobe — opt-in for max-throughput serving.
     ivf_fine_dtype: str = "auto"
     # rebuild (re-cluster) from the WRITE path when unclustered tail +
     # stale rows exceed max(ivf_rebuild_min, ivf_tail_frac * count);

@@ -23,6 +23,14 @@ and why:
 * **int8 fine copy** (``fine_dtype="int8"``): per-row-scaled int8 slabs
   halve the fine-stage traffic of bf16 — the tier composition a
   10M-corpus operator wants.
+* **int4 fine copy** (``fine_dtype="int4"``): two logical rows packed
+  per byte along the SUBLANE axis (blocks are (SLAB//2, d) int8,
+  ``ops.quantize.quantize_int4_blocks``), halving the fine-stage DMA
+  again.  The in-kernel unpack is two arithmetic shifts + one sublane
+  concat, so the MXU dot shape is unchanged.  4-bit scores only rank
+  CANDIDATES — the master rescore keeps final scores exact, so the
+  precision cost shows up only as coverage (absorbed by
+  ``refine_extra`` over-selection), not in returned scores.
 
 The reference's only search was a full Python cosine scan
 (``ollama_rag_system.py:454-525``); this tier is the QPS-vs-recall trade
@@ -80,7 +88,7 @@ _order_counts = functools.partial(jax.jit, static_argnames=("C",))(
 
 def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
                      blk_start, row_start, block_cluster, lo,
-                     nb: int, int8: bool):
+                     nb: int, fine_dtype: str):
     """One donated fill step for destination blocks [lo, lo + nb).
 
     ``lo`` is a TRACED scalar so every chunk reuses one compiled program
@@ -97,7 +105,7 @@ def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
     pm = jnp.where(valid, src, -1).reshape(-1)
     rows = E[src.reshape(-1)].astype(jnp.float32)
     rows = jnp.where(valid.reshape(-1)[:, None], rows, 0.0)
-    if int8:
+    if fine_dtype == "int8":
         from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
 
         qv, sc = quantize_rows_jit(rows)
@@ -105,6 +113,12 @@ def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
             E_c3, qv.reshape(nb, SLAB, d), (lo, 0, 0))
         scales3 = jax.lax.dynamic_update_slice(
             scales3, sc.reshape(nb, SLAB), (lo, 0))
+    elif fine_dtype == "int4":
+        from modular_rag_system_tpu.ops.quantize import quantize_int4_blocks
+
+        qv, sc = quantize_int4_blocks(rows, nb, SLAB)
+        E_c3 = jax.lax.dynamic_update_slice(E_c3, qv, (lo, 0, 0))
+        scales3 = jax.lax.dynamic_update_slice(scales3, sc, (lo, 0))
     else:
         E_c3 = jax.lax.dynamic_update_slice(
             E_c3, rows.astype(E_c3.dtype).reshape(nb, SLAB, d), (lo, 0, 0))
@@ -119,7 +133,8 @@ def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
 
 
 _fill_chunk = functools.partial(
-    jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("nb", "int8")
+    jax.jit, donate_argnums=(0, 1, 2, 3),
+    static_argnames=("nb", "fine_dtype")
 )(_fill_chunk_core)
 
 
@@ -245,8 +260,9 @@ class IVF2:
         fine copy out cluster-contiguously.  Only (C,)-sized tables move
         between host and device (the corpus never crosses the link)."""
         count = int(count)
-        if fine_dtype not in ("bf16", "int8"):
-            raise ValueError(f"fine_dtype must be bf16|int8, got {fine_dtype}")
+        if fine_dtype not in ("bf16", "int8", "int4"):
+            raise ValueError(
+                f"fine_dtype must be bf16|int8|int4, got {fine_dtype}")
         cap, d = E.shape
         if n_clusters is None:
             n_clusters = int(max(8, min(count, round(count ** 0.5))))
@@ -290,19 +306,20 @@ class IVF2:
         block_cluster = jnp.asarray(block_cluster_h, jnp.int32)
 
         fdt = jnp.bfloat16 if fine_dtype == "bf16" else jnp.int8
-        E_c3 = jnp.zeros((nblocks_pad, SLAB, d), fdt)
+        slab_p = SLAB // 2 if fine_dtype == "int4" else SLAB
+        E_c3 = jnp.zeros((nblocks_pad, slab_p, d), fdt)
         scales3 = jnp.zeros(
-            (nblocks_pad, SLAB) if fine_dtype == "int8" else (1, 1),
-            jnp.float32)
+            (nblocks_pad, SLAB) if fine_dtype in ("int8", "int4")
+            else (1, 1), jnp.float32)
         perm = jnp.full((nblocks_pad * SLAB,), -1, jnp.int32)
         inv_perm = jnp.full((cap + 1,), -1, jnp.int32)  # last row = trash
         for lo in range(0, nblocks_pad, CHUNK_BLOCKS):
             E_c3, scales3, perm, inv_perm = _fill_chunk(
                 E_c3, scales3, perm, inv_perm, E, order, counts_d,
                 blk_start, row_start, block_cluster, jnp.int32(lo),
-                nb=CHUNK_BLOCKS, int8=(fine_dtype == "int8"),
+                nb=CHUNK_BLOCKS, fine_dtype=fine_dtype,
             )
-        if fine_dtype != "int8":
+        if fine_dtype == "bf16":
             scales3 = None
         return cls(centroids, E_c3, scales3, perm, inv_perm, blk_start,
                    nblk, counts_d, count, nprobe, fine_dtype,
@@ -324,29 +341,63 @@ class IVF2:
         slots = self.inv_perm[jnp.asarray(r)]
         self.E_c3, self.scales3 = _scatter_slots(
             self.E_c3, self.scales3, slots, jnp.asarray(vals),
-            self.fine_dtype == "int8")
+            self.fine_dtype)
         self.stale_rows += len(r)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("int8",))
-def _scatter_slots(E_c3, scales3, slots, vals, int8: bool):
+def _int4_nibble_rmw(packed_rows, qvals, sel, hi: bool):
+    """Read-modify-write ONE nibble of gathered packed bytes.
+
+    ``packed_rows`` (B, d) int8 gathered bytes, ``qvals`` (B, d) int32
+    in [-7, 7], ``sel`` (B,) bool — rows where the write applies (others
+    keep the old byte).  Returns the new (B, d) int8 bytes."""
+    old = packed_rows.astype(jnp.int32) & 0xFF  # unsigned byte view
+    qn = qvals & 0xF
+    new = jnp.where(hi, (qn << 4) | (old & 0xF), (old & 0xF0) | qn)
+    new = jnp.where(sel[:, None], new, old)
+    return jnp.where(new >= 128, new - 256, new).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1), static_argnames=("fine_dtype",))
+def _scatter_slots(E_c3, scales3, slots, vals, fine_dtype: str):
+    """Scatter re-embedded/deleted rows into the fine copy.
+
+    Masked entries (slot < 0: row not built) are redirected OUT OF
+    BOUNDS and dropped — writing a pre-gathered old value back at a
+    dummy index races any real update to that index (duplicate scatter
+    indices, last-wins nondeterminism; same failure class as the
+    inv_perm trash-row note in ``_fill_chunk_core``)."""
     nb, S, d = E_c3.shape
-    b, rr = slots // S, slots % S
     ok = slots >= 0
-    b = jnp.where(ok, b, 0)
-    rr = jnp.where(ok, rr, 0)
-    if int8:
+    b = jnp.where(ok, slots // SLAB, nb)  # nb = out of bounds -> dropped
+    rr = jnp.where(ok, slots % SLAB, 0)
+    if fine_dtype == "int8":
         from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
 
         qv, sc = quantize_rows_jit(vals)
-        old_q = E_c3[b, rr]
-        old_s = scales3[b, rr]
-        E_c3 = E_c3.at[b, rr].set(jnp.where(ok[:, None], qv, old_q))
-        scales3 = scales3.at[b, rr].set(jnp.where(ok, sc[:, 0], old_s))
+        E_c3 = E_c3.at[b, rr].set(qv, mode="drop")
+        scales3 = scales3.at[b, rr].set(sc[:, 0], mode="drop")
+    elif fine_dtype == "int4":
+        # one nibble per row: quantize to [-7, 7], then two RMW phases
+        # (hi rows, then lo rows) so a batch updating both rows of the
+        # same packed byte never loses a nibble to last-wins scatter
+        x = vals.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sc = absmax / 7.0
+        safe = jnp.where(sc > 0, sc, 1.0)
+        qv = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
+        pr = rr % S
+        is_hi = rr < S
+        bsafe = jnp.minimum(b, nb - 1)
+        for hi in (True, False):
+            sel = ok & (is_hi == hi)
+            bytes_new = _int4_nibble_rmw(E_c3[bsafe, pr], qv, sel, hi)
+            E_c3 = E_c3.at[jnp.where(sel, b, nb), pr].set(
+                bytes_new, mode="drop")
+        scales3 = scales3.at[b, rr].set(sc[:, 0], mode="drop")
     else:
-        old = E_c3[b, rr]
-        E_c3 = E_c3.at[b, rr].set(
-            jnp.where(ok[:, None], vals.astype(E_c3.dtype), old))
+        E_c3 = E_c3.at[b, rr].set(vals.astype(E_c3.dtype), mode="drop")
     return E_c3, scales3
 
 
@@ -355,11 +406,48 @@ def _scatter_slots(E_c3, scales3, slots, vals, int8: bool):
 # query i and folds them into a per-query running top-k kept in VMEM
 # scratch (written to the output once, at the last step of each query).
 
+def _fine_mode(E_c3) -> str:
+    """Storage mode of a fine copy, determined by dtype + shape: int4
+    packs two logical rows per byte along the sublane axis, so its
+    blocks are (SLAB//2, d) int8 (``ops.quantize.quantize_int4_blocks``)."""
+    if E_c3.dtype == jnp.int8:
+        return "int4" if E_c3.shape[1] == SLAB // 2 else "int8"
+    return "bf16"
+
+
+def _slab_scores(qi, tile, sc, mode: str):
+    """(1, d) f32 query row x one fine tile -> (1, SLAB) f32 scores.
+
+    int8: values <= 127 are exact in bf16, so the MXU dot runs bf16.
+    int4: tile is (SLAB//2, d) packed bytes — two arithmetic shifts in
+    i32 recover the nibbles (hi = rows [0, SLAB/2), lo = the rest) and a
+    SUBLANE concat restores (SLAB, d), so the lane width stays d and the
+    dot shape is identical to int8's while the slab DMA moved half the
+    bytes.  ``sc`` is the (1, SLAB) per-logical-row scale row."""
+    if mode == "int4":
+        t = tile.astype(jnp.int32)
+        hi = (t >> 4).astype(jnp.bfloat16)
+        lo = ((t << 28) >> 28).astype(jnp.bfloat16)
+        full = jnp.concatenate([hi, lo], axis=0)  # (SLAB, d)
+    elif mode == "int8":
+        full = tile.astype(jnp.bfloat16)
+    else:
+        full = tile
+    s = jax.lax.dot_general(
+        qi.astype(full.dtype), full,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, SLAB)
+    if mode != "bf16":
+        s = s * sc
+    return s
+
+
 def _fine_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, k: int,
-                 int8: bool):
+                 mode: str):
     tiles = rest[:U]
-    scs = rest[U:2 * U] if int8 else ()
-    base = 2 * U if int8 else U
+    scs = rest[U:2 * U] if mode != "bf16" else ()
+    base = 2 * U if mode != "bf16" else U
     vals_ref, ids_ref = rest[base], rest[base + 1]
     run_v, run_i = rest[base + 2], rest[base + 3]  # scratch (1, k)
     i = pl.program_id(0)
@@ -386,15 +474,8 @@ def _fine_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, k: int,
     cand_i = [run_i[:]]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, SLAB), 1)
     for u in range(U):
-        tile = tiles[u][0]  # (SLAB, d)
-        s = jax.lax.dot_general(
-            qi.astype(jnp.bfloat16 if int8 else tile.dtype),
-            tile.astype(jnp.bfloat16) if int8 else tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, SLAB)
-        if int8:
-            s = s * scs[u][0]  # (1, SLAB) per-row scales
+        tile = tiles[u][0]  # (SLAB or SLAB//2, d)
+        s = _slab_scores(qi, tile, scs[u][0] if scs else None, mode)
         slot = j * U + u
         vc = vcnt_ref[i, slot]
         blk = blk_ref[i, slot]
@@ -428,10 +509,10 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
     nblocks, S, d = E_c3.shape
     Q, L = blk.shape
     assert L % U == 0
-    int8 = E_c3.dtype == jnp.int8
-    kern = functools.partial(_fine_kernel, U=U, k=k, int8=int8)
+    mode = _fine_mode(E_c3)
+    kern = functools.partial(_fine_kernel, U=U, k=k, mode=mode)
     tile_specs = [
-        pl.BlockSpec((1, SLAB, d),
+        pl.BlockSpec((1, S, d),
                      functools.partial(lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
         for uu in range(U)
@@ -444,7 +525,7 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
                          lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
         for uu in range(U)
-    ] if int8 else []
+    ] if mode != "bf16" else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Q, L // U),
@@ -462,8 +543,9 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
             pltpu.VMEM((1, k), jnp.int32),
         ],
     )
-    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
-    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
+    scales_v = (scales3.reshape(nblocks, 1, SLAB)
+                if mode != "bf16" else None)
+    operands = [q] + [E_c3] * U + ([scales_v] * U if mode != "bf16" else [])
     vals, slots = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -473,7 +555,7 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * L * SLAB * d,
-            bytes_accessed=Q * L * SLAB * d * E_c3.dtype.itemsize,
+            bytes_accessed=Q * L * S * d * E_c3.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -497,10 +579,10 @@ def fine_call(E_c3, scales3, q, blk, vcnt, k: int, U: int, interpret: bool):
 # candidate set is identical to the single-pass kernel's.
 
 def _fine_binmax_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, Lp: int,
-                        int8: bool):
+                        mode: str):
     tiles = rest[:U]
-    scs = rest[U:2 * U] if int8 else ()
-    base = 2 * U if int8 else U
+    scs = rest[U:2 * U] if mode != "bf16" else ()
+    base = 2 * U if mode != "bf16" else U
     bm_ref = rest[base]          # out (Q, Lp)
     run_ref = rest[base + 1]     # scratch (1, Lp)
     i = pl.program_id(0)
@@ -524,14 +606,7 @@ def _fine_binmax_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int, Lp: int,
     acc = run_ref[:]
     for u in range(U):
         tile = tiles[u][0]
-        s = jax.lax.dot_general(
-            qi.astype(jnp.bfloat16 if int8 else tile.dtype),
-            tile.astype(jnp.bfloat16) if int8 else tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, SLAB)
-        if int8:
-            s = s * scs[u][0]
+        s = _slab_scores(qi, tile, scs[u][0] if scs else None, mode)
         vc = vcnt_ref[i, j * U + u]
         s = jnp.where(iota_s < vc, s, _NEG_INF)
         m = jnp.max(s)  # scalar block max (dead slot -> -inf)
@@ -559,10 +634,10 @@ def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
     Q, L = blk.shape
     assert L % U == 0
     Lp = max(_cdiv(L, 128) * 128, 128)
-    int8 = E_c3.dtype == jnp.int8
-    kern = functools.partial(_fine_binmax_kernel, U=U, Lp=Lp, int8=int8)
+    mode = _fine_mode(E_c3)
+    kern = functools.partial(_fine_binmax_kernel, U=U, Lp=Lp, mode=mode)
     tile_specs = [
-        pl.BlockSpec((1, SLAB, d),
+        pl.BlockSpec((1, S, d),
                      functools.partial(
                          lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
@@ -574,7 +649,7 @@ def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
                          lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
         for uu in range(U)
-    ] if int8 else []
+    ] if mode != "bf16" else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Q, L // U),
@@ -585,15 +660,16 @@ def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, Lp), jnp.float32)],
     )
-    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
-    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
+    scales_v = (scales3.reshape(nblocks, 1, SLAB)
+                if mode != "bf16" else None)
+    operands = [q] + [E_c3] * U + ([scales_v] * U if mode != "bf16" else [])
     bm = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, Lp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * L * SLAB * d,
-            bytes_accessed=Q * L * SLAB * d * E_c3.dtype.itemsize,
+            bytes_accessed=Q * L * S * d * E_c3.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -602,7 +678,7 @@ def _fine_binmax_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
 
 
 def _fine_scores_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int,
-                        int8: bool):
+                        mode: str):
     """Score-dump variant of ``_fine_kernel``: same streaming loop, but
     raw U x SLAB scores land in the output instead of folding into an
     in-VMEM running top-k — selection happens outside with one
@@ -612,8 +688,8 @@ def _fine_scores_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int,
     revisited across j with a masked write — each j-lane is written
     exactly once, so no init pass is needed."""
     tiles = rest[:U]
-    scs = rest[U:2 * U] if int8 else ()
-    base = 2 * U if int8 else U
+    scs = rest[U:2 * U] if mode != "bf16" else ()
+    base = 2 * U if mode != "bf16" else U
     out_ref = rest[base]  # (1, L/U, U*SLAB) block at (i, 0, 0)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -630,14 +706,7 @@ def _fine_scores_kernel(blk_ref, vcnt_ref, q_ref, *rest, U: int,
     parts = []
     for u in range(U):
         tile = tiles[u][0]
-        s = jax.lax.dot_general(
-            qi.astype(jnp.bfloat16 if int8 else tile.dtype),
-            tile.astype(jnp.bfloat16) if int8 else tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, SLAB)
-        if int8:
-            s = s * scs[u][0]
+        s = _slab_scores(qi, tile, scs[u][0] if scs else None, mode)
         vc = vcnt_ref[i, j * U + u]
         parts.append(jnp.where(iota_s < vc, s, _NEG_INF))
     step = jnp.concatenate(parts, axis=1).reshape(1, 1, U * SLAB)
@@ -653,10 +722,10 @@ def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
     nblocks, S, d = E_c3.shape
     Q, L = blk.shape
     assert L % U == 0
-    int8 = E_c3.dtype == jnp.int8
-    kern = functools.partial(_fine_scores_kernel, U=U, int8=int8)
+    mode = _fine_mode(E_c3)
+    kern = functools.partial(_fine_scores_kernel, U=U, mode=mode)
     tile_specs = [
-        pl.BlockSpec((1, SLAB, d),
+        pl.BlockSpec((1, S, d),
                      functools.partial(
                          lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
@@ -668,7 +737,7 @@ def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
                          lambda u, i, j, b, v: (b[i, j * U + u], 0, 0), uu),
                      memory_space=pltpu.VMEM)
         for uu in range(U)
-    ] if int8 else []
+    ] if mode != "bf16" else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Q, L // U),
@@ -679,15 +748,16 @@ def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
                                lambda i, j, b, v: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    scales_v = scales3.reshape(nblocks, 1, SLAB) if int8 else None
-    operands = [q] + [E_c3] * U + ([scales_v] * U if int8 else [])
+    scales_v = (scales3.reshape(nblocks, 1, SLAB)
+                if mode != "bf16" else None)
+    operands = [q] + [E_c3] * U + ([scales_v] * U if mode != "bf16" else [])
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, L // U, U * SLAB), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * L * SLAB * d,
-            bytes_accessed=Q * L * SLAB * (d * E_c3.dtype.itemsize + 4),
+            bytes_accessed=Q * L * (S * d * E_c3.dtype.itemsize + SLAB * 4),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -374,7 +374,7 @@ class ShardedIndex:
 
         return self._build_prog(("oc", C), make)
 
-    def _fill_program(self, CHUNK: int, int8: bool):
+    def _fill_program(self, CHUNK: int, fdt: str):
         """Chunked cluster-contiguous fine-copy fill (donates the
         accumulators; HBM->HBM inside each shard)."""
         from modular_rag_system_tpu.ops.ivf2 import _fill_chunk_core
@@ -385,7 +385,7 @@ class ShardedIndex:
             def fill_body(Ec, sc, pm, iv, E_blk, od, cn, bs, rs, bc, lo):
                 out = _fill_chunk_core(
                     Ec[0], sc[0], pm[0], iv[0], E_blk[0], od[0], cn[0],
-                    bs[0], rs[0], bc[0], lo, nb=CHUNK, int8=int8)
+                    bs[0], rs[0], bc[0], lo, nb=CHUNK, fine_dtype=fdt)
                 return tuple(x[None] for x in out)
 
             sp3 = P(axis, None, None)
@@ -399,7 +399,7 @@ class ShardedIndex:
                 check_vma=False,
             ), donate_argnums=(0, 1, 2, 3))
 
-        return self._build_prog(("fill", CHUNK, int8), make)
+        return self._build_prog(("fill", CHUNK, fdt), make)
 
     def build_ann(self) -> None:
         """(Re)build the sharded cluster-contiguous structure.  Only
@@ -419,7 +419,7 @@ class ShardedIndex:
             fdt = self.ivf_fine_dtype
             if fdt == "auto":
                 fdt = "int8" if count > 4_194_304 else "bf16"
-            int8 = fdt == "int8"
+            scaled = fdt in ("int8", "int4")
             # seeds: evenly-spaced GLOBAL rows, gathered on device
             seed_g = np.linspace(0, count - 1, C).astype(np.int64)
             s_idx, j_idx = self._phys_pos(seed_g)
@@ -480,9 +480,10 @@ class ShardedIndex:
                                out_shardings=shd(*spec))()
 
             d = self.dim
-            fjdt = jnp.int8 if int8 else jnp.bfloat16
-            E_c = zeros((S, nbp, SLAB, d), fjdt, (axis, None, None, None))
-            scales = zeros((S, nbp, SLAB) if int8 else (S, 1, 1),
+            fjdt = jnp.int8 if scaled else jnp.bfloat16
+            slab_p = SLAB // 2 if fdt == "int4" else SLAB
+            E_c = zeros((S, nbp, slab_p, d), fjdt, (axis, None, None, None))
+            scales = zeros((S, nbp, SLAB) if scaled else (S, 1, 1),
                            jnp.float32, (axis, None, None))
             perm = jax.jit(lambda: jnp.full((S, nbp * SLAB), -1, jnp.int32),
                            out_shardings=shd(axis, None))()
@@ -497,14 +498,14 @@ class ShardedIndex:
             nblk_d = to_dev(nblk_h, (axis, None))
             bclus_d = to_dev(bcluster_h, (axis, None))
 
-            fill = self._fill_program(CHUNK, int8)
+            fill = self._fill_program(CHUNK, fdt)
             for lo in range(0, nbp, CHUNK):
                 E_c, scales, perm, inv = fill(
                     E_c, scales, perm, inv, self.E, order, counts_d,
                     bstart_d, rstart_d, bclus_d, jnp.int32(lo))
             self._ivf2 = _ShardedIVF2(
                 centroids=centroids, E_c=E_c,
-                scales=scales if int8 else None, perm=perm, inv_perm=inv,
+                scales=scales if scaled else None, perm=perm, inv_perm=inv,
                 blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
                 nblk_h=nblk_h, built=count, fine_dtype=fdt,
                 version=self.ivf_rebuilds)
@@ -534,8 +535,8 @@ class ShardedIndex:
         iv.E_c, iv.scales = _ivf2_scatter(
             iv.E_c, iv.scales if iv.scales is not None
             else jnp.zeros((1, 1, 1), jnp.float32),
-            iv.inv_perm, si, ji, vals, iv.fine_dtype == "int8")
-        if iv.fine_dtype != "int8":
+            iv.inv_perm, si, ji, vals, iv.fine_dtype)
+        if iv.fine_dtype == "bf16":
             iv.scales = None
         iv.stale_rows += int(mask.sum())
 
@@ -1036,27 +1037,46 @@ class _ShardedIVF2:
 from functools import partial  # noqa: E402
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("int8",))
-def _ivf2_scatter(E_c, scales, inv_perm, s_idx, j_idx, vals, int8: bool):
-    """O(batch) fine-copy scatter through the per-shard inverse perm."""
-    from modular_rag_system_tpu.ops.ivf2 import SLAB
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("fine_dtype",))
+def _ivf2_scatter(E_c, scales, inv_perm, s_idx, j_idx, vals,
+                  fine_dtype: str):
+    """O(batch) fine-copy scatter through the per-shard inverse perm.
 
+    Masked entries (slot < 0) are redirected OUT OF BOUNDS and dropped
+    instead of writing a pre-gathered old value back at a dummy index
+    (duplicate scatter indices race real updates — see
+    ``ops.ivf2._scatter_slots``)."""
+    from modular_rag_system_tpu.ops.ivf2 import SLAB, _int4_nibble_rmw
+
+    nb = E_c.shape[1]
     slots = inv_perm[s_idx, j_idx]
     ok = slots >= 0
-    b = jnp.where(ok, slots // SLAB, 0)
+    b = jnp.where(ok, slots // SLAB, nb)  # out of bounds -> dropped
     r = jnp.where(ok, slots % SLAB, 0)
-    if int8:
+    if fine_dtype == "int8":
         from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
 
         qv, sc = quantize_rows_jit(vals)
-        old_q = E_c[s_idx, b, r]
-        old_s = scales[s_idx, b, r]
-        E_c = E_c.at[s_idx, b, r].set(jnp.where(ok[:, None], qv, old_q))
-        scales = scales.at[s_idx, b, r].set(jnp.where(ok, sc[:, 0], old_s))
+        E_c = E_c.at[s_idx, b, r].set(qv, mode="drop")
+        scales = scales.at[s_idx, b, r].set(sc[:, 0], mode="drop")
+    elif fine_dtype == "int4":
+        S2 = E_c.shape[2]  # SLAB // 2
+        x = vals.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        sc = absmax / 7.0
+        safe = jnp.where(sc > 0, sc, 1.0)
+        qv = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
+        pr = r % S2
+        is_hi = r < S2
+        bsafe = jnp.minimum(b, nb - 1)
+        for hi in (True, False):
+            sel = ok & (is_hi == hi)
+            bytes_new = _int4_nibble_rmw(E_c[s_idx, bsafe, pr], qv, sel, hi)
+            E_c = E_c.at[s_idx, jnp.where(sel, b, nb), pr].set(
+                bytes_new, mode="drop")
+        scales = scales.at[s_idx, b, r].set(sc[:, 0], mode="drop")
     else:
-        old = E_c[s_idx, b, r]
-        E_c = E_c.at[s_idx, b, r].set(
-            jnp.where(ok[:, None], vals.astype(E_c.dtype), old))
+        E_c = E_c.at[s_idx, b, r].set(vals.astype(E_c.dtype), mode="drop")
     return E_c, scales
 
 

@@ -303,7 +303,7 @@ def test_fine_dump_matches_selecting_kernel(rng):
 
     d, N, C = 64, 6144, 6
     E = jnp.asarray(normalized(rng, N, d))
-    for fdt in ("bf16", "int8"):
+    for fdt in ("bf16", "int8", "int4"):
         iv = IVF2.build(E, N, n_clusters=C, iters=3, nprobe=C,
                         fine_dtype=fdt)
         q = jnp.asarray(normalized(rng, 8, d))
@@ -404,3 +404,105 @@ def test_dump_path_guard_bounds_per_query_vmem():
     assert _use_dump(1, ok_L)
     assert not _use_dump(1, ok_L * 2)  # tiny total, oversized per-query row
     assert not _use_dump(4096, 8192)  # oversized total
+
+
+def test_int4_pack_roundtrip(rng):
+    """quantize_int4_blocks/unpack_int4_blocks invert each other to
+    4-bit precision; zero rows stay exactly dead (scale 0)."""
+    from modular_rag_system_tpu.ops.quantize import (
+        quantize_int4_blocks,
+        unpack_int4_blocks,
+    )
+
+    x = rng.standard_normal((4 * 8, 6)).astype(np.float32)
+    x[3] = 0.0
+    p, s = quantize_int4_blocks(jnp.asarray(x), 4, 8)
+    assert p.shape == (4, 4, 6) and p.dtype == jnp.int8
+    y = np.asarray(unpack_int4_blocks(p, s)).reshape(32, 6)
+    scale = np.abs(x).max(1, keepdims=True) / 7.0
+    safe = np.where(scale > 0, scale, 1.0)
+    ref = np.clip(np.round(x / safe), -7, 7) * scale
+    np.testing.assert_allclose(y, ref, rtol=0, atol=1e-6)
+    assert (y[3] == 0).all()
+
+
+def test_ivf_int4_tier_full_probe_matches_exact(rng):
+    """int4 fine copy: 4-bit scores only rank candidates — at full
+    probe with the default over-selection on clustered data the master
+    rescore returns the exact tier's rows and scores."""
+    E, _ = clustered_corpus(rng, n_clusters=8, per=250, d=64)
+    n = E.shape[0]
+    idx = DeviceIndex(dim=64, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=64, ivf_fine_dtype="int4")
+    idx.add(E)
+    assert idx._ivf2 is not None and idx._ivf2.fine_dtype == "int4"
+    # packed storage: half the sublanes of the int8 copy
+    from modular_rag_system_tpu.ops.ivf2 import SLAB
+
+    assert idx._ivf2.E_c3.shape[1] == SLAB // 2
+    assert idx._ivf2.E_c3.dtype == jnp.int8
+    q = normalized(rng, 4, 64) * 0.3 + E[:4] * 0.7
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scores, rows = idx.search(q, 5)
+    exact = DeviceIndex(dim=64, tier="exact")
+    exact.add(E)
+    ref_scores, ref_rows = exact.search(q, 5)
+    for i in range(4):
+        assert set(rows[i]) == set(ref_rows[i])
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_int4_delete_and_resurrect_sync_fine_copy(rng):
+    """The two-phase nibble RMW scatter: deletes zero ONE nibble without
+    clobbering the packed partner row; resurrection restores it."""
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=128, ivf_fine_dtype="int4")
+    E = normalized(rng, 400, 32)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    q = E[:2]
+    _, rows = idx.search(q, 1)
+    assert rows[0, 0] == 0 and rows[1, 0] == 1
+    idx.delete_rows(np.asarray([0]))
+    scores, rows = idx.search(q[:1], 1)
+    assert rows[0, 0] != 0 or scores[0, 0] < 0.5
+    # the packed PARTNER of row 0's slot must still be retrievable: the
+    # nibble RMW may not zero the whole byte.  Find the partner row via
+    # the inverse perm (slot +- SLAB//2 within the same block).
+    from modular_rag_system_tpu.ops.ivf2 import SLAB
+
+    iv = idx._ivf2
+    slot0 = int(np.asarray(iv.inv_perm)[0])
+    partner_slot = slot0 + (SLAB // 2 if slot0 % SLAB < SLAB // 2
+                            else -(SLAB // 2))
+    partner = int(np.asarray(iv.perm)[partner_slot])
+    if partner >= 0:
+        _, prow = idx.search(E[partner : partner + 1], 1)
+        assert prow[0, 0] == partner
+    # resurrect with new content
+    idx.set_rows(np.asarray([0]), q[:1])
+    _, rows = idx.search(q[:1], 1)
+    assert rows[0, 0] == 0
+
+
+def test_sharded_ivf_int4(rng):
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    E, _ = clustered_corpus(rng, n_clusters=16, per=256, d=32)
+    mesh = make_index_mesh(4, devices=cpu_mesh_devices(4))
+    idx = ShardedIndex(dim=32, mesh=mesh, tier="ivf", block_rows=64,
+                       ivf_clusters=8, ivf_nprobe=8, ivf_iters=4,
+                       ivf_rebuild_min=64, ivf_fine_dtype="int4")
+    idx.add(E)
+    assert idx._ivf2 is not None and idx._ivf2.fine_dtype == "int4"
+    _, got = idx.search(E[:16], 1)
+    np.testing.assert_array_equal(got[:, 0], np.arange(16))
+    # sharded nibble scatter: delete + resurrect
+    idx.delete_rows(np.asarray([3]))
+    s, got = idx.search(E[3:4], 1)
+    assert got[0, 0] != 3 or s[0, 0] < 0.5
+    idx.set_rows(np.asarray([3]), E[3:4])
+    _, got = idx.search(E[3:4], 1)
+    assert got[0, 0] == 3
