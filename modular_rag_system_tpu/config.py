@@ -104,10 +104,13 @@ class IndexConfig:
     ivf_balance: float = 1.5
     # fine-stage storage: "bf16" | "int8" | "int4" | "auto" (int8 past
     # 4M rows — HBM: a 10M bf16 fine copy next to the master does not
-    # fit one v5e).  int4 packs two rows per byte and halves the
-    # fine-stage DMA again; 4-bit scores only rank candidates (the
-    # master rescore keeps returned scores exact), costing ~0-1pt of
-    # recall at a given nprobe — opt-in for max-throughput serving.
+    # fit one v5e).  int4 packs two RESIDUAL-encoded rows per byte —
+    # a MEMORY option, not a throughput one: measured at 10M x 384 it
+    # is QPS-neutral vs int8 (the fine DMA is only ~30% of the query
+    # after r3.5 moved selection out of the kernel) with a 2.32 vs
+    # 4.63 GB fine copy, 22 vs 48 s build, and 1.5-3pt lower recall at
+    # a given nprobe (4-bit candidate RANKING noise; returned scores
+    # stay master-exact).  Prefer int8 unless HBM-capacity-bound.
     ivf_fine_dtype: str = "auto"
     # rebuild (re-cluster) from the WRITE path when unclustered tail +
     # stale rows exceed max(ivf_rebuild_min, ivf_tail_frac * count);

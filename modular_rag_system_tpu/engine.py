@@ -142,8 +142,14 @@ class RAGEngine:
             data = np.load(self._snapshot_path)
             if int(data["dim"]) == self.index.dim and int(data["count"]) <= max(n_store, 0):
                 emb = snapshot_embeddings(data)[: int(data["count"])]
+                if "ivf_centroids" in data:
+                    # warm-start the ivf rebuild triggered inside add():
+                    # skip the k-means, keep the snapshot's clustering
+                    self.index.ivf_warmstart = (data["ivf_centroids"],
+                                                data["ivf_labels"])
                 if emb.shape[0]:
                     self.index.add(np.asarray(emb, dtype=np.float32))
+                self.index.ivf_warmstart = None
         if self.index.count < n_store:
             # Rebuild missing rows POSITIONALLY, including tombstones:
             # skipping deleted rows would shift every later embedding and

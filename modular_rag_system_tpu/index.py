@@ -96,6 +96,9 @@ class DeviceIndex:
         # in an exact-scanned tail; a rebuild folds them in, triggered
         # from the write path when the tail passes the threshold below.
         self.ivf_fine_dtype = ivf_fine_dtype
+        # pending snapshot warm start (centroids, labels) — consumed by
+        # the next build_ann (set by load()/engine restore)
+        self.ivf_warmstart = None
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
         self.ivf_refine_extra = ivf_refine_extra
@@ -402,21 +405,39 @@ class DeviceIndex:
             self.build_ann()
 
     def build_ann(self) -> None:
-        """(Re)build the clustered structure over the current corpus."""
+        """(Re)build the clustered structure over the current corpus.
+
+        A pending ``ivf_warmstart`` (set by ``load``/engine restore from
+        a snapshot's saved centroids + labels) is consumed ONCE: the
+        first build after a restore skips k-means and re-fills the
+        contiguous layout directly (~5 s vs ~60 s at 10M); labeled rows
+        become the built prefix and any rows beyond them stay in the
+        exact tail until the normal threshold rebuild."""
         from modular_rag_system_tpu.ops.ivf2 import IVF2
 
         fdt = self.ivf_fine_dtype
         if fdt == "auto":
             fdt = "int8" if self.count > self._IVF_AUTO_INT8_ROWS else "bf16"
         with self._lock:
+            warm = self.ivf_warmstart
+            self.ivf_warmstart = None  # single use, fresh rebuilds after
+            build_count = self.count
+            if warm is not None:
+                cents, labels = warm
+                if (len(labels) <= self.count and len(labels) > 0
+                        and cents.shape[1] == self.dim):
+                    build_count = len(labels)
+                else:
+                    warm = None
             self._ivf2 = IVF2.build(
                 self.E,
-                self.count,
+                build_count,
                 n_clusters=self.ivf_clusters,
                 iters=self.ivf_iters,
                 nprobe=self.ivf_nprobe,
                 fine_dtype=fdt,
                 balance=self.ivf_balance,
+                warm_start=warm,
             )
             self._ivf2.version = self.ivf_rebuilds
             self.ivf_rebuilds += 1
@@ -427,16 +448,28 @@ class DeviceIndex:
 
         Saved in the stored dtype: the device->host fetch dominates
         snapshot time, and bf16 halves it.  bf16 rows are stored as a
-        uint16 bit view (numpy has no native bfloat16)."""
+        uint16 bit view (numpy has no native bfloat16).
+
+        A built ivf structure also persists its centroids + per-row
+        labels (tiny next to the embeddings), so ``load``/engine restore
+        can warm-start the rebuild instead of re-running k-means."""
         with self._lock:
             live = np.asarray(self.E[: self.count])
+            extra = {}
+            if self._ivf2 is not None and self._ivf2.built > 0:
+                extra = {
+                    "ivf_centroids": np.asarray(self._ivf2.centroids,
+                                                np.float32),
+                    "ivf_labels": self._ivf2.labels_host(),
+                }
         # uncompressed: zlib on ~GB of float embeddings costs minutes
         # and saves almost nothing (near-random mantissas)
         if self.store_dtype == "bfloat16":
             np.savez(path, embeddings_bf16=live.view(np.uint16),
-                     count=self.count, dim=self.dim)
+                     count=self.count, dim=self.dim, **extra)
         else:
-            np.savez(path, embeddings=live, count=self.count, dim=self.dim)
+            np.savez(path, embeddings=live, count=self.count,
+                     dim=self.dim, **extra)
 
     @classmethod
     def load(cls, path: str, tier: str = "exact",
@@ -458,8 +491,13 @@ class DeviceIndex:
         store_dtype = "bfloat16" if "embeddings_bf16" in data else "float32"
         idx = cls(dim=dim, capacity=max(count, 4096), tier=tier,
                   store_dtype=store_dtype, **tier_kwargs)
+        if "ivf_centroids" in data:
+            # the threshold rebuild inside add() consumes this and skips
+            # the k-means (see build_ann)
+            idx.ivf_warmstart = (data["ivf_centroids"], data["ivf_labels"])
         if count:
             idx.add(snapshot_embeddings(data)[:count])
+        idx.ivf_warmstart = None
         return idx
 
     def memory_bytes(self) -> int:

@@ -25,12 +25,18 @@ and why:
   10M-corpus operator wants.
 * **int4 fine copy** (``fine_dtype="int4"``): two logical rows packed
   per byte along the SUBLANE axis (blocks are (SLAB//2, d) int8,
-  ``ops.quantize.quantize_int4_blocks``), halving the fine-stage DMA
-  again.  The in-kernel unpack is two arithmetic shifts + one sublane
-  concat, so the MXU dot shape is unchanged.  4-bit scores only rank
-  CANDIDATES — the master rescore keeps final scores exact, so the
-  precision cost shows up only as coverage (absorbed by
-  ``refine_extra`` over-selection), not in returned scores.
+  ``ops.quantize.quantize_int4_blocks``), halving the fine copy's HBM
+  footprint and build time.  Rows are RESIDUAL-encoded (row minus its
+  centroid; the exact q.centroid term is re-added from the coarse score
+  table at query time) — absolute 4-bit encoding measured recall 0.36
+  at 10M because within-cluster score spread (~sigma) is smaller than
+  an absolute absmax/7 grid.  The in-kernel unpack is two arithmetic
+  shifts + one sublane concat, so the MXU dot shape is unchanged.
+  4-bit scores only rank CANDIDATES — the master rescore keeps returned
+  scores exact.  Measured at 10M x 384 (tools/exp_int4_fine.py): a
+  MEMORY/CAPACITY option, not a throughput one — QPS-neutral vs int8
+  (the fine DMA is ~30% of the query after the r3.5 score-dump change)
+  at 2.32 vs 4.63 GB and 1.5-3pt lower recall at a given nprobe.
 
 The reference's only search was a full Python cosine scan
 (``ollama_rag_system.py:454-525``); this tier is the QPS-vs-recall trade
@@ -87,7 +93,7 @@ _order_counts = functools.partial(jax.jit, static_argnames=("C",))(
 
 
 def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
-                     blk_start, row_start, block_cluster, lo,
+                     blk_start, row_start, block_cluster, centroids, lo,
                      nb: int, fine_dtype: str):
     """One donated fill step for destination blocks [lo, lo + nb).
 
@@ -116,7 +122,18 @@ def _fill_chunk_core(E_c3, scales3, perm, inv_perm, E, order, counts,
     elif fine_dtype == "int4":
         from modular_rag_system_tpu.ops.quantize import quantize_int4_blocks
 
-        qv, sc = quantize_int4_blocks(rows, nb, SLAB)
+        # RESIDUAL encoding: quantize (row - centroid).  Within a probed
+        # cluster the absolute score spread is ~sigma while a per-row
+        # absmax/7 grid of the ABSOLUTE vector is ~|row|/7 — 4-bit
+        # absolute ranking is noise exactly in IVF's operating regime
+        # (measured: recall 0.36 at 10M vs 0.99 int8).  Residual scales
+        # track sigma, and the exact q.centroid term is added back from
+        # the coarse stage's score table at query time (fine_call_xla
+        # bias), so candidate ranking approximates q.row to ~sigma/14.
+        cen = centroids[c].astype(jnp.float32)  # (nb, d)
+        res = rows.reshape(nb, SLAB, d) - cen[:, None, :]
+        res = jnp.where(valid[..., None], res, 0.0)
+        qv, sc = quantize_int4_blocks(res.reshape(nb * SLAB, d), nb, SLAB)
         E_c3 = jax.lax.dynamic_update_slice(E_c3, qv, (lo, 0, 0))
         scales3 = jax.lax.dynamic_update_slice(scales3, sc, (lo, 0))
     else:
@@ -210,8 +227,10 @@ class IVF2:
 
     def __init__(self, centroids, E_c3, scales3, perm, inv_perm,
                  blk_start, nblk, counts, built: int, nprobe: int,
-                 fine_dtype: str, balance: float = 0.0) -> None:
+                 fine_dtype: str, balance: float = 0.0,
+                 block_cluster=None) -> None:
         self.centroids = centroids
+        self.block_cluster = block_cluster  # (nblocks_pad,) i32
         self.E_c3 = E_c3
         self.scales3 = scales3
         self.perm = perm
@@ -243,6 +262,21 @@ class IVF2:
         top = np.sort(self.nblk_h)[::-1][:nprobe]
         return max(int(top.sum()), 1)
 
+    def labels_host(self) -> np.ndarray:
+        """Reconstruct per-row cluster labels for rows [0, built) from
+        the slot permutation.  Snapshot persistence saves these next to
+        the centroids so a restore can ``warm_start`` the rebuild (skip
+        k-means, go straight to the fill)."""
+        perm_h = np.asarray(self.perm)
+        bc = np.repeat(np.arange(self.n_clusters, dtype=np.int32),
+                       self.nblk_h.astype(np.int64))
+        labels = np.full(self.built, -1, np.int32)
+        slots = np.nonzero(perm_h >= 0)[0]
+        rows = perm_h[slots]
+        keep = rows < self.built
+        labels[rows[keep]] = bc[slots[keep] // SLAB]
+        return labels
+
     # ------------------------------------------------------------------
     @classmethod
     def build(
@@ -255,30 +289,50 @@ class IVF2:
         fine_dtype: str = "bf16",
         seed_batch: int = 65536,
         balance: float = 0.0,
+        warm_start: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> "IVF2":
         """Cluster rows [0, count) of the master matrix ``E`` and lay the
         fine copy out cluster-contiguously.  Only (C,)-sized tables move
-        between host and device (the corpus never crosses the link)."""
+        between host and device (the corpus never crosses the link).
+
+        ``warm_start`` = (centroids (C, d) f32, labels (count,) i32)
+        skips the k-means AND balance splits entirely (the labels
+        already encode the post-split assignment) and goes straight to
+        the contiguous fill — snapshot restore uses it to rebuild a 10M
+        structure in fill time (~5 s) instead of re-clustering (~60 s).
+        Caller guarantees len(labels) == count."""
         count = int(count)
         if fine_dtype not in ("bf16", "int8", "int4"):
             raise ValueError(
                 f"fine_dtype must be bf16|int8|int4, got {fine_dtype}")
         cap, d = E.shape
-        if n_clusters is None:
-            n_clusters = int(max(8, min(count, round(count ** 0.5))))
-        C = min(max(n_clusters, 1), max(count, 1))
-        if count:
-            seed_idx = np.linspace(0, count - 1, C).astype(np.int64)
-            seed_rows = np.asarray(E[jnp.asarray(seed_idx)], dtype=np.float32)
+        if warm_start is not None:
+            cents_h, labels_h = warm_start
+            if len(labels_h) != count:
+                raise ValueError(
+                    f"warm_start labels cover {len(labels_h)} rows, "
+                    f"build count is {count}")
+            centroids = jnp.asarray(cents_h, jnp.float32)
+            lab = np.full(cap, -1, np.int32)
+            lab[:count] = np.asarray(labels_h, np.int32)
+            labels = jnp.asarray(lab)
         else:
-            seed_rows = np.zeros((1, d), np.float32)
-        init = init_centroids_from_rows(seed_rows, len(seed_rows), C)
-        centroids, labels = kmeans_fit(
-            E, jnp.int32(count), jnp.asarray(init), iters=iters,
-            batch=seed_batch,
-        )
-        centroids, labels = _split_oversized(
-            E, count, centroids, labels, balance, seed_batch)
+            if n_clusters is None:
+                n_clusters = int(max(8, min(count, round(count ** 0.5))))
+            C = min(max(n_clusters, 1), max(count, 1))
+            if count:
+                seed_idx = np.linspace(0, count - 1, C).astype(np.int64)
+                seed_rows = np.asarray(E[jnp.asarray(seed_idx)],
+                                       dtype=np.float32)
+            else:
+                seed_rows = np.zeros((1, d), np.float32)
+            init = init_centroids_from_rows(seed_rows, len(seed_rows), C)
+            centroids, labels = kmeans_fit(
+                E, jnp.int32(count), jnp.asarray(init), iters=iters,
+                batch=seed_batch,
+            )
+            centroids, labels = _split_oversized(
+                E, count, centroids, labels, balance, seed_batch)
         C = int(centroids.shape[0])  # splits may have grown the set
         order, counts = _order_counts(labels, jnp.int32(count), C)
         counts_h = np.asarray(counts).astype(np.int64)
@@ -316,14 +370,14 @@ class IVF2:
         for lo in range(0, nblocks_pad, CHUNK_BLOCKS):
             E_c3, scales3, perm, inv_perm = _fill_chunk(
                 E_c3, scales3, perm, inv_perm, E, order, counts_d,
-                blk_start, row_start, block_cluster, jnp.int32(lo),
-                nb=CHUNK_BLOCKS, fine_dtype=fine_dtype,
+                blk_start, row_start, block_cluster, centroids,
+                jnp.int32(lo), nb=CHUNK_BLOCKS, fine_dtype=fine_dtype,
             )
         if fine_dtype == "bf16":
             scales3 = None
         return cls(centroids, E_c3, scales3, perm, inv_perm, blk_start,
                    nblk, counts_d, count, nprobe, fine_dtype,
-                   balance=balance)
+                   balance=balance, block_cluster=block_cluster)
 
     # ------------------------------------------------------------------
     # O(batch) write maintenance (VERDICT r2 item 2)
@@ -341,7 +395,7 @@ class IVF2:
         slots = self.inv_perm[jnp.asarray(r)]
         self.E_c3, self.scales3 = _scatter_slots(
             self.E_c3, self.scales3, slots, jnp.asarray(vals),
-            self.fine_dtype)
+            self.fine_dtype, self.centroids, self.block_cluster)
         self.stale_rows += len(r)
 
 
@@ -360,7 +414,8 @@ def _int4_nibble_rmw(packed_rows, qvals, sel, hi: bool):
 
 @functools.partial(
     jax.jit, donate_argnums=(0, 1), static_argnames=("fine_dtype",))
-def _scatter_slots(E_c3, scales3, slots, vals, fine_dtype: str):
+def _scatter_slots(E_c3, scales3, slots, vals, fine_dtype: str,
+                   centroids=None, block_cluster=None):
     """Scatter re-embedded/deleted rows into the fine copy.
 
     Masked entries (slot < 0: row not built) are redirected OUT OF
@@ -379,17 +434,19 @@ def _scatter_slots(E_c3, scales3, slots, vals, fine_dtype: str):
         E_c3 = E_c3.at[b, rr].set(qv, mode="drop")
         scales3 = scales3.at[b, rr].set(sc[:, 0], mode="drop")
     elif fine_dtype == "int4":
-        # one nibble per row: quantize to [-7, 7], then two RMW phases
-        # (hi rows, then lo rows) so a batch updating both rows of the
-        # same packed byte never loses a nibble to last-wins scatter
-        x = vals.astype(jnp.float32)
+        # one nibble per row: RESIDUAL-quantize to [-7, 7] (same
+        # encoding as the fill), then two RMW phases (hi rows, then lo
+        # rows) so a batch updating both rows of the same packed byte
+        # never loses a nibble to last-wins scatter
+        bsafe = jnp.minimum(b, nb - 1)
+        cen = centroids[block_cluster[bsafe]].astype(jnp.float32)
+        x = vals.astype(jnp.float32) - jnp.where(ok[:, None], cen, 0.0)
         absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
         sc = absmax / 7.0
         safe = jnp.where(sc > 0, sc, 1.0)
         qv = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
         pr = rr % S
         is_hi = rr < S
-        bsafe = jnp.minimum(b, nb - 1)
         for hi in (True, False):
             sel = ok & (is_hi == hi)
             bytes_new = _int4_nibble_rmw(E_c3[bsafe, pr], qv, sel, hi)
@@ -766,7 +823,7 @@ def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
 
 
 def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
-                  interpret: bool = False):
+                  interpret: bool = False, bias=None):
     """Fine stage with OUT-OF-KERNEL selection: the score-dump kernel
     streams every candidate row's score to HBM ((Q, L*SLAB) f32, ~2% of
     the slab traffic at d=384), then one positional ``lax.top_k`` picks
@@ -775,7 +832,12 @@ def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
     selecting kernel's tie order.  Replaces the in-kernel k-pass running
     selection, measured at ~6x the streaming cost
     (tools/exp_ivf2_breakdown.py: pass A 0.75-0.96 ms vs selecting
-    kernel 6.7-7.0 ms at kf=20, 10.5M x 384 nprobe=1)."""
+    kernel 6.7-7.0 ms at kf=20, 10.5M x 384 nprobe=1).
+
+    ``bias`` (Q, L) f32 adds a per-candidate-block term to every row
+    score of that block AFTER the kernel — the int4 residual path's
+    exact q.centroid component (dead slots stay -inf: -inf + finite is
+    -inf)."""
     Q, L = blk.shape
     # sort blocks ascending with dead slots (vcnt == 0) pushed last, so
     # flattened slot ids ASCEND with candidate position among live rows
@@ -784,6 +846,10 @@ def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
     blk2 = jnp.take_along_axis(blk, order, axis=1)
     vc2 = jnp.take_along_axis(vcnt, order, axis=1)
     flat = fine_scores_call(E_c3, scales3, q, blk2, vc2, U, interpret)
+    if bias is not None:
+        bias2 = jnp.take_along_axis(bias, order, axis=1)  # (Q, L)
+        flat = (flat.reshape(Q, L, SLAB) + bias2[:, :, None]).reshape(
+            Q, L * SLAB)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SLAB), 2)
     sid = (blk2[:, :, None] * SLAB + iota).reshape(Q, L * SLAB)
     kk = min(k, L * SLAB)
@@ -811,7 +877,7 @@ _DUMP_VMEM_BYTES = 4 << 20
 
 
 def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
-                   interpret: bool):
+                   interpret: bool, bias=None):
     """Fine-stage dispatch (r3.5): the score-dump path always wins when
     its (Q, L*SLAB) f32 score buffer is affordable — its extra HBM
     traffic is the score write (4 bytes per scanned d-dim row, ~1% of
@@ -822,10 +888,24 @@ def fine_call_auto(E_c3, scales3, q, blk, vcnt, k: int, U: int,
     loses to one dump over the full list — see docs/kernels.md r3.5.
     Candidate ids are identical in both branches (ties break by lowest
     slot id everywhere); values may differ by accumulation-order ulps
-    (harmless: the search core rescores candidates on the master)."""
+    (harmless: the search core rescores candidates on the master).
+
+    A ``bias`` (int4 residual q.centroid term) REQUIRES the dump path —
+    the selecting kernel's in-VMEM running top-k would rank biasless
+    scores across blocks of different clusters.  The dump budget only
+    binds at near-probe-all configs on multi-M corpora (L*SLAB > 1M
+    candidate rows per query), where IVF is pointless anyway — the
+    error message says to lower nprobe or use int8."""
     Q, L = blk.shape
+    if bias is not None and not _use_dump(Q, L):
+        raise ValueError(
+            f"int4 fine stage needs the score-dump path, but Q={Q} L={L} "
+            f"exceeds its buffer budget ({Q}x{L}x{SLAB} f32 scores; caps "
+            f"{_DUMP_MAX_BYTES >> 20} MiB total / {_DUMP_VMEM_BYTES >> 20}"
+            f" MiB per query). Lower nprobe or use ivf_fine_dtype='int8'.")
     if _use_dump(Q, L):
-        return fine_call_xla(E_c3, scales3, q, blk, vcnt, k, U, interpret)
+        return fine_call_xla(E_c3, scales3, q, blk, vcnt, k, U, interpret,
+                             bias=bias)
     return fine_call(E_c3, scales3, q, blk, vcnt, k, U, interpret)
 
 
@@ -842,10 +922,13 @@ def _use_dump(Q: int, L: int) -> bool:
 # ---------------------------------------------------------------------------
 # traceable search core (composes under jit and inside shard_map)
 
-def block_lists(probes, blk_start, nblk, counts, L: int):
+def block_lists(probes, blk_start, nblk, counts, L: int,
+                return_clusters: bool = False):
     """Per-query candidate block lists.  probes (Q, P) cluster ids ->
     (blk (Q, L) block indices, vcnt (Q, L) valid rows per block); dead
-    slots point at block 0 with vcnt 0."""
+    slots point at block 0 with vcnt 0.  With ``return_clusters`` also
+    returns the per-slot cluster ids (Q, L) — the int4 residual path
+    gathers its per-block q.centroid bias through them."""
     Q, P = probes.shape
     nb_p = nblk[probes]  # (Q, P)
     cum = jnp.cumsum(nb_p, axis=1)
@@ -859,8 +942,11 @@ def block_lists(probes, blk_start, nblk, counts, L: int):
     blk = blk_start[probe_c] + off
     vcnt = jnp.clip(counts[probe_c] - off * SLAB, 0, SLAB)
     live = j < total
-    return (jnp.where(live, blk, 0).astype(jnp.int32),
-            jnp.where(live, vcnt, 0).astype(jnp.int32))
+    out = (jnp.where(live, blk, 0).astype(jnp.int32),
+           jnp.where(live, vcnt, 0).astype(jnp.int32))
+    if return_clusters:
+        return out + (probe_c.astype(jnp.int32),)
+    return out
 
 
 def ivf2_search_core(
@@ -882,15 +968,31 @@ def ivf2_search_core(
     smallest global id (same convention as every other tier)."""
     Q, d = q.shape
     if refine_extra is None:
-        refine_extra = k
+        # int4's 4-bit residual ranking needs wider over-selection to
+        # recover the true top-k at the master rescore.  Measured at
+        # 10M x 384 nprobe=1 (tools/exp_int4_fine.py sweep): extra =
+        # 3k -> recall 0.958, 5k -> 0.976, 10k -> 0.9883, 20k -> 0.9906
+        # = int8's own coverage ceiling.  Default to the recall-parity
+        # point (10k, ~0.7x int8's QPS); speed-first operators can
+        # lower ivf_refine_extra explicitly.
+        refine_extra = 10 * k if _fine_mode(E_c3) == "int4" else k
     cand_i = []
     if L > 0:
         cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
         _, probes = jax.lax.top_k(cs, nprobe)
-        blk, vcnt = block_lists(probes, blk_start, nblk, counts, L)
+        if _fine_mode(E_c3) == "int4":
+            # residual encoding: fine scores are q.(row - centroid);
+            # add the exact per-block q.centroid term from the coarse
+            # score table so candidate ranking approximates q.row
+            blk, vcnt, pc = block_lists(probes, blk_start, nblk, counts,
+                                        L, return_clusters=True)
+            bias = jnp.take_along_axis(cs, pc, axis=1)  # (Q, L)
+        else:
+            blk, vcnt = block_lists(probes, blk_start, nblk, counts, L)
+            bias = None
         kf = min(k + refine_extra, L * SLAB)
         fv, fslots = fine_call_auto(E_c3, scales3, q, blk, vcnt, kf, U,
-                                    interpret)
+                                    interpret, bias=bias)
         fgids = perm[jnp.maximum(fslots, 0)]
         fgids = jnp.where(fslots >= 0, fgids, -1)
         # a built row may have been deleted (zeroed): keep it — the

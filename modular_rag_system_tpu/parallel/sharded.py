@@ -156,6 +156,9 @@ class ShardedIndex:
         self.ivf_nprobe = ivf_nprobe
         self.ivf_iters = ivf_iters
         self.ivf_fine_dtype = ivf_fine_dtype
+        # pending snapshot warm start (centroids, global labels) —
+        # consumed by the next build_ann (set by load()/engine restore)
+        self.ivf_warmstart = None
         self.ivf_tail_frac = ivf_tail_frac
         self.ivf_rebuild_min = ivf_rebuild_min
         self.ivf_refine_extra = ivf_refine_extra
@@ -382,10 +385,12 @@ class ShardedIndex:
         mesh, axis = self.mesh, self.axis
 
         def make():
-            def fill_body(Ec, sc, pm, iv, E_blk, od, cn, bs, rs, bc, lo):
+            def fill_body(Ec, sc, pm, iv, E_blk, od, cn, bs, rs, bc, cents,
+                          lo):
                 out = _fill_chunk_core(
                     Ec[0], sc[0], pm[0], iv[0], E_blk[0], od[0], cn[0],
-                    bs[0], rs[0], bc[0], lo, nb=CHUNK, fine_dtype=fdt)
+                    bs[0], rs[0], bc[0], cents, lo, nb=CHUNK,
+                    fine_dtype=fdt)
                 return tuple(x[None] for x in out)
 
             sp3 = P(axis, None, None)
@@ -393,7 +398,8 @@ class ShardedIndex:
                 fill_body, mesh=mesh,
                 in_specs=(P(axis, None, None, None), sp3, P(axis, None),
                           P(axis, None), sp3, P(axis, None), P(axis, None),
-                          P(axis, None), P(axis, None), P(axis, None), P()),
+                          P(axis, None), P(axis, None), P(axis, None),
+                          P(), P()),
                 out_specs=(P(axis, None, None, None), sp3, P(axis, None),
                            P(axis, None)),
                 check_vma=False,
@@ -420,6 +426,26 @@ class ShardedIndex:
             if fdt == "auto":
                 fdt = "int8" if count > 4_194_304 else "bf16"
             scaled = fdt in ("int8", "int4")
+            warm = self.ivf_warmstart
+            self.ivf_warmstart = None  # single use (see DeviceIndex)
+            if warm is not None:
+                cents_h, labels_g = warm
+                if not (0 < len(labels_g) <= count
+                        and cents_h.shape[1] == self.dim):
+                    warm = None
+            if warm is not None:
+                # snapshot warm start: skip k-means AND balance splits
+                # (the labels already encode the post-split assignment)
+                built_g = len(labels_g)
+                centroids = jnp.asarray(cents_h, jnp.float32)
+                C = int(centroids.shape[0])
+                lab_h = np.full((S, self.cap_s), -1, np.int32)
+                g = np.arange(built_g, dtype=np.int64)
+                lab_h[g % S, g // S] = np.asarray(labels_g, np.int32)
+                labels = jax.device_put(
+                    jnp.asarray(lab_h), NamedSharding(mesh, P(axis, None)))
+                return self._finish_ann_build(
+                    centroids, labels, built_g, fdt, scaled)
             # seeds: evenly-spaced GLOBAL rows, gathered on device
             seed_g = np.linspace(0, count - 1, C).astype(np.int64)
             s_idx, j_idx = self._phys_pos(seed_g)
@@ -455,70 +481,83 @@ class ShardedIndex:
                         self.E, count, grown, mesh, axis, iters=3)
                 C = int(centroids.shape[0])
 
-            order, counts = self._order_counts_program(C)(
-                labels, jnp.int32(count))
+            return self._finish_ann_build(centroids, labels, count, fdt,
+                                          scaled)
 
-            counts_h = np.asarray(counts).astype(np.int64)  # (S, C)
-            nblk_h = (counts_h + SLAB - 1) // SLAB
-            nbp = max(int(nblk_h.sum(axis=1).max()), 1)
-            # clamp like IVF2.build: a small per-shard build must not
-            # allocate a 1024-block minimum fine copy
-            CHUNK = min(1024, 1 << max(nbp - 1, 1).bit_length())
-            nbp = ((nbp + CHUNK - 1) // CHUNK) * CHUNK
-            blk_start_h = np.cumsum(nblk_h, axis=1) - nblk_h
-            row_start_h = np.cumsum(counts_h, axis=1) - counts_h
-            bcluster_h = np.full((S, nbp), C - 1, np.int32)
-            for s in range(S):
-                bc = np.repeat(np.arange(C, dtype=np.int32), nblk_h[s])
-                bcluster_h[s, : len(bc)] = bc
+    def _finish_ann_build(self, centroids, labels, built_g: int, fdt: str,
+                          scaled: bool) -> None:
+        """Contiguous-layout fill from a (centroids, labels) clustering —
+        shared by the fresh k-means build and the snapshot warm start.
+        Caller holds the index lock.  Rows [built_g, count) stay in the
+        exact tail."""
+        from modular_rag_system_tpu.ops.ivf2 import SLAB
 
-            def shd(*spec):
-                return NamedSharding(mesh, P(*spec))
+        mesh, axis, S = self.mesh, self.axis, self.S
+        C = int(centroids.shape[0])
+        order, counts = self._order_counts_program(C)(
+            labels, jnp.int32(built_g))
 
-            def zeros(shape, dtype, spec):
-                return jax.jit(lambda: jnp.zeros(shape, dtype),
-                               out_shardings=shd(*spec))()
+        counts_h = np.asarray(counts).astype(np.int64)  # (S, C)
+        nblk_h = (counts_h + SLAB - 1) // SLAB
+        nbp = max(int(nblk_h.sum(axis=1).max()), 1)
+        # clamp like IVF2.build: a small per-shard build must not
+        # allocate a 1024-block minimum fine copy
+        CHUNK = min(1024, 1 << max(nbp - 1, 1).bit_length())
+        nbp = ((nbp + CHUNK - 1) // CHUNK) * CHUNK
+        blk_start_h = np.cumsum(nblk_h, axis=1) - nblk_h
+        row_start_h = np.cumsum(counts_h, axis=1) - counts_h
+        bcluster_h = np.full((S, nbp), C - 1, np.int32)
+        for s in range(S):
+            bc = np.repeat(np.arange(C, dtype=np.int32), nblk_h[s])
+            bcluster_h[s, : len(bc)] = bc
 
-            d = self.dim
-            fjdt = jnp.int8 if scaled else jnp.bfloat16
-            slab_p = SLAB // 2 if fdt == "int4" else SLAB
-            E_c = zeros((S, nbp, slab_p, d), fjdt, (axis, None, None, None))
-            scales = zeros((S, nbp, SLAB) if scaled else (S, 1, 1),
-                           jnp.float32, (axis, None, None))
-            perm = jax.jit(lambda: jnp.full((S, nbp * SLAB), -1, jnp.int32),
-                           out_shardings=shd(axis, None))()
-            inv = jax.jit(
-                lambda: jnp.full((S, self.cap_s + 1), -1, jnp.int32),
-                out_shardings=shd(axis, None))()
-            to_dev = lambda a, spec: jax.device_put(
-                jnp.asarray(a, jnp.int32), shd(*spec))
-            bstart_d = to_dev(blk_start_h, (axis, None))
-            rstart_d = to_dev(row_start_h, (axis, None))
-            counts_d = to_dev(counts_h, (axis, None))
-            nblk_d = to_dev(nblk_h, (axis, None))
-            bclus_d = to_dev(bcluster_h, (axis, None))
+        def shd(*spec):
+            return NamedSharding(mesh, P(*spec))
 
-            fill = self._fill_program(CHUNK, fdt)
-            for lo in range(0, nbp, CHUNK):
-                E_c, scales, perm, inv = fill(
-                    E_c, scales, perm, inv, self.E, order, counts_d,
-                    bstart_d, rstart_d, bclus_d, jnp.int32(lo))
-            self._ivf2 = _ShardedIVF2(
-                centroids=centroids, E_c=E_c,
-                scales=scales if scaled else None, perm=perm, inv_perm=inv,
-                blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
-                nblk_h=nblk_h, built=count, fine_dtype=fdt,
-                version=self.ivf_rebuilds)
-            self.ivf_rebuilds += 1
-            # evict search programs compiled against the superseded
-            # build: search_core keys are (Qp, k) + search_token(k) with
-            # the tier at position 2 and the old iv.version baked in at
-            # position 6 — none can be hit again after the version bump
-            stale = [kk for kk in self._search_cache
-                     if isinstance(kk, tuple) and len(kk) > 2
-                     and kk[2] == "ivf"]
-            for kk in stale:
-                del self._search_cache[kk]
+        def zeros(shape, dtype, spec):
+            return jax.jit(lambda: jnp.zeros(shape, dtype),
+                           out_shardings=shd(*spec))()
+
+        d = self.dim
+        fjdt = jnp.int8 if scaled else jnp.bfloat16
+        slab_p = SLAB // 2 if fdt == "int4" else SLAB
+        E_c = zeros((S, nbp, slab_p, d), fjdt, (axis, None, None, None))
+        scales = zeros((S, nbp, SLAB) if scaled else (S, 1, 1),
+                       jnp.float32, (axis, None, None))
+        perm = jax.jit(lambda: jnp.full((S, nbp * SLAB), -1, jnp.int32),
+                       out_shardings=shd(axis, None))()
+        inv = jax.jit(
+            lambda: jnp.full((S, self.cap_s + 1), -1, jnp.int32),
+            out_shardings=shd(axis, None))()
+        to_dev = lambda a, spec: jax.device_put(
+            jnp.asarray(a, jnp.int32), shd(*spec))
+        bstart_d = to_dev(blk_start_h, (axis, None))
+        rstart_d = to_dev(row_start_h, (axis, None))
+        counts_d = to_dev(counts_h, (axis, None))
+        nblk_d = to_dev(nblk_h, (axis, None))
+        bclus_d = to_dev(bcluster_h, (axis, None))
+
+        fill = self._fill_program(CHUNK, fdt)
+        for lo in range(0, nbp, CHUNK):
+            E_c, scales, perm, inv = fill(
+                E_c, scales, perm, inv, self.E, order, counts_d,
+                bstart_d, rstart_d, bclus_d, centroids, jnp.int32(lo))
+        self._ivf2 = _ShardedIVF2(
+            centroids=centroids, E_c=E_c,
+            scales=scales if scaled else None, perm=perm, inv_perm=inv,
+            blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
+            nblk_h=nblk_h, built=built_g, fine_dtype=fdt,
+            version=self.ivf_rebuilds, block_cluster=bclus_d)
+        self.ivf_rebuilds += 1
+        # evict search programs compiled against the superseded
+        # build: search_core keys are (Qp, k) + search_token(k) with
+        # the tier at position 2 and the old iv.version baked in at
+        # position 6 — none can be hit again after the version bump
+        stale = [kk for kk in self._search_cache
+                 if isinstance(kk, tuple) and len(kk) > 2
+                 and kk[2] == "ivf"]
+        for kk in stale:
+            del self._search_cache[kk]
 
     def _ivf2_update_rows(self, s_idx, j_idx, mat) -> None:
         """O(batch) fine-copy sync for set/delete of BUILT rows."""
@@ -535,7 +574,8 @@ class ShardedIndex:
         iv.E_c, iv.scales = _ivf2_scatter(
             iv.E_c, iv.scales if iv.scales is not None
             else jnp.zeros((1, 1, 1), jnp.float32),
-            iv.inv_perm, si, ji, vals, iv.fine_dtype)
+            iv.inv_perm, si, ji, vals, iv.fine_dtype, iv.centroids,
+            iv.block_cluster)
         if iv.fine_dtype == "bf16":
             iv.scales = None
         iv.stale_rows += int(mask.sum())
@@ -966,13 +1006,22 @@ class ShardedIndex:
         with self._lock:
             phys = np.asarray(self.E)  # (S, cap_s, d) in store dtype
             count = self.count
+            extra = {}
+            iv = self._ivf2
+            if iv is not None and iv.built > 0:
+                # centroids + per-row labels are tiny next to the rows
+                # and let a restore warm-start the rebuild (skip k-means)
+                extra = {"ivf_centroids": np.asarray(iv.centroids,
+                                                     np.float32),
+                         "ivf_labels": iv.labels_host_global(self.S)}
         glob = phys.transpose(1, 0, 2).reshape(self.capacity, self.dim)
         live = np.ascontiguousarray(glob[:count])
         if self.store_dtype == "bfloat16":
             np.savez(path, embeddings_bf16=live.view(np.uint16),
-                     count=count, dim=self.dim)
+                     count=count, dim=self.dim, **extra)
         else:
-            np.savez(path, embeddings=live, count=count, dim=self.dim)
+            np.savez(path, embeddings=live, count=count, dim=self.dim,
+                     **extra)
 
     @classmethod
     def load(cls, path: str, mesh=None, tier: str = "exact", **tier_kwargs):
@@ -995,10 +1044,14 @@ class ShardedIndex:
             store_dtype=store_dtype,
             **tier_kwargs,
         )
+        if "ivf_centroids" in data:
+            # consumed by the threshold rebuild inside add()
+            idx.ivf_warmstart = (data["ivf_centroids"], data["ivf_labels"])
         if int(data["count"]):
             idx.add(np.asarray(
                 snapshot_embeddings(data)[: int(data["count"])], dtype=np.float32
             ))
+        idx.ivf_warmstart = None
         return idx
 
     def memory_bytes(self) -> int:
@@ -1018,8 +1071,9 @@ class _ShardedIVF2:
 
     def __init__(self, centroids, E_c, scales, perm, inv_perm, blk_start,
                  nblk, counts, nblk_h, built: int, fine_dtype: str,
-                 version: int) -> None:
+                 version: int, block_cluster=None) -> None:
         self.centroids = centroids
+        self.block_cluster = block_cluster  # (S, nbp) i32 block -> cluster
         self.E_c = E_c              # (S, nbp, SLAB, d)
         self.scales = scales        # (S, nbp, SLAB) f32 | None
         self.perm = perm            # (S, nbp * SLAB) i32 local rows
@@ -1033,13 +1087,32 @@ class _ShardedIVF2:
         self.version = int(version)
         self.stale_rows = 0
 
+    def labels_host_global(self, S: int) -> np.ndarray:
+        """Reconstruct GLOBAL per-row cluster labels for rows
+        [0, built) from the per-shard slot permutations (global row g
+        lives on shard g % S at position g // S) — saved by snapshot()
+        next to the centroids for warm-start restore."""
+        from modular_rag_system_tpu.ops.ivf2 import SLAB
+
+        perm_h = np.asarray(self.perm)  # (S, nbp * SLAB)
+        C = self.nblk_h.shape[1]
+        labels = np.full(self.built, -1, np.int32)
+        for s in range(S):
+            bc = np.repeat(np.arange(C, dtype=np.int32),
+                           self.nblk_h[s].astype(np.int64))
+            slots = np.nonzero(perm_h[s] >= 0)[0]
+            g = perm_h[s][slots].astype(np.int64) * S + s
+            keep = g < self.built
+            labels[g[keep]] = bc[slots[keep] // SLAB]
+        return labels
+
 
 from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("fine_dtype",))
 def _ivf2_scatter(E_c, scales, inv_perm, s_idx, j_idx, vals,
-                  fine_dtype: str):
+                  fine_dtype: str, centroids=None, block_cluster=None):
     """O(batch) fine-copy scatter through the per-shard inverse perm.
 
     Masked entries (slot < 0) are redirected OUT OF BOUNDS and dropped
@@ -1061,14 +1134,15 @@ def _ivf2_scatter(E_c, scales, inv_perm, s_idx, j_idx, vals,
         scales = scales.at[s_idx, b, r].set(sc[:, 0], mode="drop")
     elif fine_dtype == "int4":
         S2 = E_c.shape[2]  # SLAB // 2
-        x = vals.astype(jnp.float32)
+        bsafe = jnp.minimum(b, nb - 1)
+        cen = centroids[block_cluster[s_idx, bsafe]].astype(jnp.float32)
+        x = vals.astype(jnp.float32) - jnp.where(ok[:, None], cen, 0.0)
         absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
         sc = absmax / 7.0
         safe = jnp.where(sc > 0, sc, 1.0)
         qv = jnp.clip(jnp.round(x / safe), -7, 7).astype(jnp.int32)
         pr = r % S2
         is_hi = r < S2
-        bsafe = jnp.minimum(b, nb - 1)
         for hi in (True, False):
             sel = ok & (is_hi == hi)
             bytes_new = _int4_nibble_rmw(E_c[s_idx, bsafe, pr], qv, sel, hi)

@@ -506,3 +506,86 @@ def test_sharded_ivf_int4(rng):
     idx.set_rows(np.asarray([3]), E[3:4])
     _, got = idx.search(E[3:4], 1)
     assert got[0, 0] == 3
+
+
+def test_ivf_snapshot_warmstart_skips_kmeans(rng, tmp_path, monkeypatch):
+    """snapshot() persists centroids + labels; load() rebuilds the ivf
+    structure WITHOUT re-running k-means, and the restored index returns
+    the exact same results."""
+    import modular_rag_system_tpu.ops.ivf2 as ivf2_mod
+
+    E, _ = clustered_corpus(rng, n_clusters=8, per=200, d=32)
+    kw = dict(ivf_clusters=8, ivf_nprobe=8, ivf_rebuild_min=64,
+              ivf_fine_dtype="int8")
+    idx = DeviceIndex(dim=32, tier="ivf", **kw)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    q = normalized(rng, 4, 32)
+    ref_s, ref_r = idx.search(q, 5)
+    path = str(tmp_path / "snap.npz")
+    idx.snapshot(path)
+
+    def boom(*a, **k):
+        raise AssertionError("k-means must not run on warm-start restore")
+
+    monkeypatch.setattr(ivf2_mod, "kmeans_fit", boom)
+    idx2 = DeviceIndex.load(path, tier="ivf", **kw)
+    assert idx2._ivf2 is not None and idx2._ivf2.built == idx._ivf2.built
+    np.testing.assert_array_equal(np.asarray(idx2._ivf2.centroids),
+                                  np.asarray(idx._ivf2.centroids))
+    s2, r2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(r2, ref_r)
+    np.testing.assert_allclose(s2, ref_s, rtol=1e-5, atol=1e-6)
+    # warm start is single-use: a later threshold rebuild re-clusters
+    assert idx2.ivf_warmstart is None
+
+
+def test_ivf_labels_host_roundtrip(rng):
+    """labels_host() inverts the contiguous layout: rebuilding from the
+    reconstructed labels reproduces the structure bit-for-bit."""
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
+
+    E, _ = clustered_corpus(rng, n_clusters=8, per=100, d=32)
+    n = E.shape[0]
+    Ej = jnp.asarray(E)
+    iv = IVF2.build(Ej, n, n_clusters=8, iters=5, fine_dtype="int4")
+    labels = iv.labels_host()
+    assert labels.shape == (n,) and (labels >= 0).all()
+    iv2 = IVF2.build(Ej, n, fine_dtype="int4",
+                     warm_start=(np.asarray(iv.centroids), labels))
+    np.testing.assert_array_equal(np.asarray(iv2.perm), np.asarray(iv.perm))
+    np.testing.assert_array_equal(np.asarray(iv2.E_c3),
+                                  np.asarray(iv.E_c3))
+    np.testing.assert_array_equal(np.asarray(iv2.counts),
+                                  np.asarray(iv.counts))
+
+
+def test_sharded_ivf_snapshot_warmstart(rng, tmp_path, monkeypatch):
+    import modular_rag_system_tpu.parallel.sharded as sh_mod
+    from modular_rag_system_tpu.ops import kmeans as km_mod
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    E, _ = clustered_corpus(rng, n_clusters=16, per=256, d=32)
+    kw = dict(block_rows=64, ivf_clusters=8, ivf_nprobe=8, ivf_iters=4,
+              ivf_rebuild_min=64, ivf_fine_dtype="int8")
+    mesh = make_index_mesh(4, devices=cpu_mesh_devices(4))
+    idx = ShardedIndex(dim=32, mesh=mesh, tier="ivf", **kw)
+    idx.add(E)
+    assert idx._ivf2 is not None
+    q = normalized(rng, 4, 32)
+    ref_s, ref_r = idx.search(q, 5)
+    path = str(tmp_path / "snap.npz")
+    idx.snapshot(path)
+
+    def boom(*a, **k):
+        raise AssertionError("k-means must not run on warm-start restore")
+
+    monkeypatch.setattr(km_mod, "kmeans_fit_sharded", boom)
+    monkeypatch.setattr(sh_mod, "kmeans_fit_sharded", boom, raising=False)
+    idx2 = ShardedIndex.load(path, mesh=mesh, tier="ivf", **kw)
+    assert idx2._ivf2 is not None and idx2._ivf2.built == idx._ivf2.built
+    s2, r2 = idx2.search(q, 5)
+    np.testing.assert_array_equal(r2, ref_r)
+    np.testing.assert_allclose(s2, ref_s, rtol=1e-5, atol=1e-6)
