@@ -397,6 +397,14 @@ class RAGEngine:
                      else self.index.search_token())
             key = (Qp, k, sharded, id(params)) + token
             fn = self._fused_query_cache.get(key)
+            if fn is not None:
+                # LRU refresh: re-insert on hit so the FIFO eviction
+                # below removes the LEAST-recently-USED program, not the
+                # oldest — without this a steady-state program older
+                # than 16 distinct (Qp, k) combinations is evicted and
+                # recompiled (~10-30 s remote XLA) on every new key
+                self._fused_query_cache.pop(key)
+                self._fused_query_cache[key] = fn
             if fn is None:
                 # evict programs compiled against superseded params:
                 # their closures pin a full model copy each, and their

@@ -79,6 +79,14 @@ class DeviceIndex:
         self.capacity = _next_pow2(max(capacity, 1024))
         self.count = 0
         self._lock = threading.RLock()
+        # Write gate: held by every WRITER (add/set_rows/delete_rows)
+        # and across build_ann's heavy k-means+fill phase.  Writers must
+        # be excluded while the build reads E unlocked (append_rows
+        # DONATES the buffer — a concurrent add would invalidate it
+        # under the running k-means), but READERS never mutate and keep
+        # serving the old structure + exact tail throughout.  Lock
+        # order: _build_gate -> _lock, never the reverse.
+        self._build_gate = threading.RLock()
         self.E = jnp.zeros((self.capacity, dim), dtype=self._jdtype)
         # Derived tier copies.  Invariant: when non-None they are IN SYNC
         # with E — writes update them incrementally (O(batch), not
@@ -116,6 +124,10 @@ class DeviceIndex:
             return self.count, 0
         if mat.shape[1] != self.dim:
             raise ValueError(f"dim mismatch: {mat.shape[1]} != {self.dim}")
+        with self._build_gate:
+            return self._add_gated(mat, n)
+
+    def _add_gated(self, mat, n: int) -> Tuple[int, int]:
         with self._lock:
             first = self.count
             self._ensure_capacity(self.count + n)
@@ -137,8 +149,10 @@ class DeviceIndex:
             self._update_derived_append(buf, self.count)
             self.count += n
             self._count_dev = None
-            self._maybe_build_ivf2()
-            return first, n
+        # threshold rebuild OUTSIDE _lock (gate still held): queries
+        # keep serving the old structure + exact tail during the build
+        self._maybe_build_ivf2()
+        return first, n
 
     def _ensure_capacity(self, needed: int) -> None:
         if needed <= self.capacity:
@@ -158,13 +172,15 @@ class DeviceIndex:
     def delete_rows(self, rows: np.ndarray) -> None:
         if rows.size == 0:
             return
-        with self._lock:
-            self.E = exact_ops.zero_rows(self.E, jnp.asarray(rows, dtype=jnp.int32))
-            self._update_derived_rows(
-                rows, np.zeros((len(rows), self.dim), np.float32)
-            )
-            if self._ivf2 is not None:
-                self._ivf2.update_rows(rows, None)  # O(batch) scatter
+        with self._build_gate:
+            with self._lock:
+                self.E = exact_ops.zero_rows(
+                    self.E, jnp.asarray(rows, dtype=jnp.int32))
+                self._update_derived_rows(
+                    rows, np.zeros((len(rows), self.dim), np.float32)
+                )
+                if self._ivf2 is not None:
+                    self._ivf2.update_rows(rows, None)  # O(batch) scatter
             # update-only workloads accumulate drift too: without this,
             # stale_rows grows unbounded and the rebuild never fires
             self._maybe_build_ivf2()
@@ -180,17 +196,18 @@ class DeviceIndex:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
         if len(rows) == 0:
             return
-        with self._lock:
-            self.E = exact_ops.set_rows(
-                self.E,
-                jnp.asarray(rows, dtype=jnp.int32),
-                jnp.asarray(mat, dtype=jnp.float32),
-            )
-            self._update_derived_rows(rows, mat)
-            if self._ivf2 is not None:
-                # O(batch) in-place sync; the row keeps its OLD cluster
-                # until the next rebuild (counted as drift)
-                self._ivf2.update_rows(rows, mat)
+        with self._build_gate:
+            with self._lock:
+                self.E = exact_ops.set_rows(
+                    self.E,
+                    jnp.asarray(rows, dtype=jnp.int32),
+                    jnp.asarray(mat, dtype=jnp.float32),
+                )
+                self._update_derived_rows(rows, mat)
+                if self._ivf2 is not None:
+                    # O(batch) in-place sync; the row keeps its OLD
+                    # cluster until the next rebuild (counted as drift)
+                    self._ivf2.update_rows(rows, mat)
             self._maybe_build_ivf2()
 
     # ------------------------------------------------------------------
@@ -250,6 +267,9 @@ class DeviceIndex:
     # benchmarks/README.md): the int8 mixed exact tier wins at <=1M
     # (161k vs ivf's recall-1.0 111k), ivf dominates at 10M (10-14x);
     # promote at 4M rows, where the exact stream has fallen to ~40k QPS
+    # ONE measured crossover governs both auto policies (tier=auto's
+    # exact->ivf switch AND the auto fine-dtype's bf16->int8 switch);
+    # ShardedIndex references it too so the index classes cannot drift
     _AUTO_IVF_ROWS = 4_194_304
 
     def effective_tier(self) -> str:
@@ -280,8 +300,12 @@ class DeviceIndex:
             iv = self._ivf2
             sc3 = (iv.scales3 if iv.scales3 is not None
                    else jnp.zeros((1, 1), jnp.float32))
+            if getattr(iv, "_built_dev", None) is None:
+                # cached like count_device(): a fresh jnp.int32 per
+                # search is a host->device transfer on every query
+                iv._built_dev = jnp.int32(iv.built)
             return (self.E, iv.E_c3, sc3, iv.perm, iv.centroids,
-                    iv.blk_start, iv.nblk, iv.counts, jnp.int32(iv.built))
+                    iv.blk_start, iv.nblk, iv.counts, iv._built_dev)
         return (self.E,)
 
     def _ivf_tail_max(self) -> int:
@@ -388,7 +412,7 @@ class DeviceIndex:
 
     # ------------------------------------------------------------------
     # ivf tier (ops/ivf2): cluster-contiguous fine stage + exact tail
-    _IVF_AUTO_INT8_ROWS = 4_194_304  # past this, bf16 fine copy + master
+    _IVF_AUTO_INT8_ROWS = _AUTO_IVF_ROWS  # alias: one crossover constant
     # would not fit one v5e's HBM together
 
     def _maybe_build_ivf2(self) -> None:
@@ -415,22 +439,29 @@ class DeviceIndex:
         exact tail until the normal threshold rebuild."""
         from modular_rag_system_tpu.ops.ivf2 import IVF2
 
-        fdt = self.ivf_fine_dtype
-        if fdt == "auto":
-            fdt = "int8" if self.count > self._IVF_AUTO_INT8_ROWS else "bf16"
-        with self._lock:
-            warm = self.ivf_warmstart
-            self.ivf_warmstart = None  # single use, fresh rebuilds after
-            build_count = self.count
-            if warm is not None:
-                cents, labels = warm
-                if (len(labels) <= self.count and len(labels) > 0
-                        and cents.shape[1] == self.dim):
-                    build_count = len(labels)
-                else:
-                    warm = None
-            self._ivf2 = IVF2.build(
-                self.E,
+        with self._build_gate:
+            # snapshot a consistent view under the state lock, then run
+            # the heavy k-means+fill WITHOUT it: writers are excluded by
+            # the gate (E cannot be donated away), readers keep serving
+            # the old structure + exact tail for the whole build instead
+            # of blocking ~60 s at 10M behind the index lock
+            with self._lock:
+                E, build_count = self.E, self.count
+                fdt = self.ivf_fine_dtype
+                if fdt == "auto":
+                    fdt = ("int8" if build_count > self._IVF_AUTO_INT8_ROWS
+                           else "bf16")
+                warm = self.ivf_warmstart
+                self.ivf_warmstart = None  # single use
+                if warm is not None:
+                    cents, labels = warm
+                    if (0 < len(labels) <= build_count
+                            and cents.shape[1] == self.dim):
+                        build_count = len(labels)
+                    else:
+                        warm = None
+            new = IVF2.build(
+                E,
                 build_count,
                 n_clusters=self.ivf_clusters,
                 iters=self.ivf_iters,
@@ -439,8 +470,19 @@ class DeviceIndex:
                 balance=self.ivf_balance,
                 warm_start=warm,
             )
-            self._ivf2.version = self.ivf_rebuilds
-            self.ivf_rebuilds += 1
+            with self._lock:
+                new.version = self.ivf_rebuilds
+                self._ivf2 = new
+                self.ivf_rebuilds += 1
+                # evict search programs compiled against the superseded
+                # build: their keys carry the old iv.version (and stale
+                # tail windows) and can never be hit again — without
+                # this they pile up until the >64 clear() evicts the
+                # HOT programs too (mirrors ShardedIndex)
+                stale = [kk for kk in self._core_cache
+                         if isinstance(kk, tuple) and "ivf2" in kk]
+                for kk in stale:
+                    del self._core_cache[kk]
 
     # ------------------------------------------------------------------
     def snapshot(self, path: str) -> None:

@@ -128,6 +128,12 @@ class ShardedIndex:
         )
         self.count = 0
         self._lock = threading.RLock()
+        # Write gate (mirrors DeviceIndex): held by every writer and
+        # across build_ann's heavy k-means+fill, which runs WITHOUT the
+        # state lock so readers keep serving the old structure + exact
+        # tail.  Writers must be excluded during the build (the scatter
+        # writes donate E).  Lock order: _build_gate -> _lock.
+        self._build_gate = threading.RLock()
         self._row_sharding = NamedSharding(self.mesh, P(axis, None, None))
         self._scale_sharding = NamedSharding(self.mesh, P(axis, None))
         self.E = jax.device_put(
@@ -181,20 +187,23 @@ class ShardedIndex:
             return self.count, 0
         if mat.shape[1] != self.dim:
             raise ValueError(f"dim mismatch: {mat.shape[1]} != {self.dim}")
-        with self._lock:
-            first = self.count
-            self._ensure_capacity(self.count + n)
-            rows = np.arange(first, first + n)
-            s_idx, j_idx = self._phys_pos(rows)
-            self.E = _scatter_rows(
-                self.E,
-                jnp.asarray(s_idx, jnp.int32),
-                jnp.asarray(j_idx, jnp.int32),
-                jnp.asarray(mat).astype(self._jdtype),
-            )
-            self._update_derived_scatter(s_idx, j_idx, mat)
-            self.count += n
-            self._count_dev = None
+        with self._build_gate:
+            with self._lock:
+                first = self.count
+                self._ensure_capacity(self.count + n)
+                rows = np.arange(first, first + n)
+                s_idx, j_idx = self._phys_pos(rows)
+                self.E = _scatter_rows(
+                    self.E,
+                    jnp.asarray(s_idx, jnp.int32),
+                    jnp.asarray(j_idx, jnp.int32),
+                    jnp.asarray(mat).astype(self._jdtype),
+                )
+                self._update_derived_scatter(s_idx, j_idx, mat)
+                self.count += n
+                self._count_dev = None
+            # threshold rebuild OUTSIDE _lock (gate held): queries keep
+            # serving the old structure + exact tail during the build
             self._maybe_build_ivf2()
             return first, n
 
@@ -220,21 +229,22 @@ class ShardedIndex:
     def delete_rows(self, rows: np.ndarray) -> None:
         if rows.size == 0:
             return
-        with self._lock:
-            s_idx, j_idx = self._phys_pos(np.asarray(rows))
-            zeros = jnp.zeros((len(rows), self.dim), self._jdtype)
-            self.E = _scatter_rows(
-                self.E,
-                jnp.asarray(s_idx, jnp.int32),
-                jnp.asarray(j_idx, jnp.int32),
-                zeros,
-            )
-            self._update_derived_scatter(
-                s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
-            )
-            self._ivf2_update_rows(
-                s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
-            )
+        with self._build_gate:
+            with self._lock:
+                s_idx, j_idx = self._phys_pos(np.asarray(rows))
+                zeros = jnp.zeros((len(rows), self.dim), self._jdtype)
+                self.E = _scatter_rows(
+                    self.E,
+                    jnp.asarray(s_idx, jnp.int32),
+                    jnp.asarray(j_idx, jnp.int32),
+                    zeros,
+                )
+                self._update_derived_scatter(
+                    s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
+                )
+                self._ivf2_update_rows(
+                    s_idx, j_idx, np.zeros((len(rows), self.dim), np.float32)
+                )
             # deletes count as drift; without this an update-only
             # workload never re-fires the rebuild threshold
             self._maybe_build_ivf2()
@@ -243,16 +253,17 @@ class ShardedIndex:
         """Overwrite existing rows (e.g. re-ingest of a deleted doc)."""
         if len(rows) == 0:
             return
-        with self._lock:
-            s_idx, j_idx = self._phys_pos(np.asarray(rows))
-            self.E = _scatter_rows(
-                self.E,
-                jnp.asarray(s_idx, jnp.int32),
-                jnp.asarray(j_idx, jnp.int32),
-                jnp.asarray(mat).astype(self._jdtype),
-            )
-            self._update_derived_scatter(s_idx, j_idx, mat)
-            self._ivf2_update_rows(s_idx, j_idx, mat)
+        with self._build_gate:
+            with self._lock:
+                s_idx, j_idx = self._phys_pos(np.asarray(rows))
+                self.E = _scatter_rows(
+                    self.E,
+                    jnp.asarray(s_idx, jnp.int32),
+                    jnp.asarray(j_idx, jnp.int32),
+                    jnp.asarray(mat).astype(self._jdtype),
+                )
+                self._update_derived_scatter(s_idx, j_idx, mat)
+                self._ivf2_update_rows(s_idx, j_idx, mat)
             self._maybe_build_ivf2()
 
     # ------------------------------------------------------------------
@@ -414,8 +425,14 @@ class ShardedIndex:
         from modular_rag_system_tpu.ops.ivf2 import SLAB
         from modular_rag_system_tpu.ops.kmeans import kmeans_fit_sharded
 
-        with self._lock:
-            count, S, axis, mesh = self.count, self.S, self.axis, self.mesh
+        # gate excludes writers for the whole build (the scatter writes
+        # donate E); the state lock is only held for the snapshot below
+        # and the final swap in _finish_ann_build — readers keep serving
+        # the old structure + exact tail throughout (see DeviceIndex)
+        with self._build_gate:
+            with self._lock:
+                count = self.count
+            S, axis, mesh = self.S, self.axis, self.mesh
             if count == 0:
                 return
             C = self.ivf_clusters
@@ -424,7 +441,10 @@ class ShardedIndex:
             C = min(max(C, 1), count)
             fdt = self.ivf_fine_dtype
             if fdt == "auto":
-                fdt = "int8" if count > 4_194_304 else "bf16"
+                from modular_rag_system_tpu.index import DeviceIndex
+
+                fdt = ("int8" if count > DeviceIndex._IVF_AUTO_INT8_ROWS
+                       else "bf16")
             scaled = fdt in ("int8", "int4")
             warm = self.ivf_warmstart
             self.ivf_warmstart = None  # single use (see DeviceIndex)
@@ -488,8 +508,10 @@ class ShardedIndex:
                           scaled: bool) -> None:
         """Contiguous-layout fill from a (centroids, labels) clustering —
         shared by the fresh k-means build and the snapshot warm start.
-        Caller holds the index lock.  Rows [built_g, count) stay in the
-        exact tail."""
+        Caller holds the BUILD GATE (writers excluded) but not the state
+        lock — the fill runs while readers serve the old structure; only
+        the final swap below takes the lock.  Rows [built_g, count) stay
+        in the exact tail."""
         from modular_rag_system_tpu.ops.ivf2 import SLAB
 
         mesh, axis, S = self.mesh, self.axis, self.S
@@ -542,22 +564,23 @@ class ShardedIndex:
             E_c, scales, perm, inv = fill(
                 E_c, scales, perm, inv, self.E, order, counts_d,
                 bstart_d, rstart_d, bclus_d, centroids, jnp.int32(lo))
-        self._ivf2 = _ShardedIVF2(
-            centroids=centroids, E_c=E_c,
-            scales=scales if scaled else None, perm=perm, inv_perm=inv,
-            blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
-            nblk_h=nblk_h, built=built_g, fine_dtype=fdt,
-            version=self.ivf_rebuilds, block_cluster=bclus_d)
-        self.ivf_rebuilds += 1
-        # evict search programs compiled against the superseded
-        # build: search_core keys are (Qp, k) + search_token(k) with
-        # the tier at position 2 and the old iv.version baked in at
-        # position 6 — none can be hit again after the version bump
-        stale = [kk for kk in self._search_cache
-                 if isinstance(kk, tuple) and len(kk) > 2
-                 and kk[2] == "ivf"]
-        for kk in stale:
-            del self._search_cache[kk]
+        with self._lock:
+            self._ivf2 = _ShardedIVF2(
+                centroids=centroids, E_c=E_c,
+                scales=scales if scaled else None, perm=perm, inv_perm=inv,
+                blk_start=bstart_d, nblk=nblk_d, counts=counts_d,
+                nblk_h=nblk_h, built=built_g, fine_dtype=fdt,
+                version=self.ivf_rebuilds, block_cluster=bclus_d)
+            self.ivf_rebuilds += 1
+            # evict search programs compiled against the superseded
+            # build: search_core keys are (Qp, k) + search_token(k) with
+            # the tier at position 2 and the old iv.version baked in at
+            # position 6 — none can be hit again after the version bump
+            stale = [kk for kk in self._search_cache
+                     if isinstance(kk, tuple) and len(kk) > 2
+                     and kk[2] == "ivf"]
+            for kk in stale:
+                del self._search_cache[kk]
 
     def _ivf2_update_rows(self, s_idx, j_idx, mat) -> None:
         """O(batch) fine-copy sync for set/delete of BUILT rows."""
@@ -808,8 +831,12 @@ class ShardedIndex:
         if tier == "ivf":
             iv = self._ivf2
             sc = (iv.scales if iv.scales is not None else self._dummy3())
+            if getattr(iv, "_built_dev", None) is None:
+                # cached like count_device(): a fresh jnp.int32 per
+                # search is a host->device transfer on every query
+                iv._built_dev = jnp.int32(iv.built)
             return (self.E, iv.E_c, sc, iv.perm, iv.blk_start, iv.nblk,
-                    iv.counts, iv.centroids, jnp.int32(iv.built))
+                    iv.counts, iv.centroids, iv._built_dev)
         if tier == "int8":
             self._refresh_quant()
             return (self._E_q, self._scales, self.E)

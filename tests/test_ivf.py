@@ -589,3 +589,64 @@ def test_sharded_ivf_snapshot_warmstart(rng, tmp_path, monkeypatch):
     s2, r2 = idx2.search(q, 5)
     np.testing.assert_array_equal(r2, ref_r)
     np.testing.assert_allclose(s2, ref_s, rtol=1e-5, atol=1e-6)
+
+
+def test_queries_serve_during_rebuild(rng, monkeypatch):
+    """The write-path rebuild must NOT block readers (review r3.9): the
+    heavy k-means+fill runs under the write gate but outside the state
+    lock, so searches keep serving the old structure + exact tail while
+    a threshold-crossing write re-clusters (~60 s at 10M on chip).
+    Writers ARE gated for the duration (E donation safety)."""
+    import threading
+
+    import modular_rag_system_tpu.ops.ivf2 as ivf2_mod
+
+    idx = DeviceIndex(dim=32, tier="ivf", ivf_clusters=8, ivf_nprobe=8,
+                      ivf_rebuild_min=64, ivf_fine_dtype="bf16")
+    E = normalized(rng, 400, 32)
+    idx.add(E)
+    assert idx._ivf2 is not None and idx.ivf_rebuilds == 1
+
+    build_started = threading.Event()
+    release = threading.Event()
+    orig = ivf2_mod.kmeans_fit
+
+    def slow_kmeans(*a, **k):
+        build_started.set()
+        assert release.wait(30), "test deadlock: release never set"
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ivf2_mod, "kmeans_fit", slow_kmeans)
+    fresh = normalized(rng, 400, 32)
+    writer = threading.Thread(target=idx.add, args=(fresh,), daemon=True)
+    writer.start()
+    assert build_started.wait(30), "rebuild never started"
+
+    # a reader must complete WHILE the rebuild is blocked in k-means
+    got = {}
+
+    def reader():
+        got["res"] = idx.search(E[:2], 3)
+
+    r = threading.Thread(target=reader, daemon=True)
+    r.start()
+    r.join(20)
+    assert not r.is_alive(), "search blocked behind an in-flight rebuild"
+    _, rows = got["res"]
+    assert rows[0, 0] == 0 and rows[1, 0] == 1  # old structure still serves
+
+    # a second writer must be GATED until the build finishes
+    w2_done = threading.Event()
+    w2 = threading.Thread(
+        target=lambda: (idx.delete_rows(np.asarray([5])), w2_done.set()),
+        daemon=True)
+    w2.start()
+    assert not w2_done.wait(0.8), "writer ran during an in-flight rebuild"
+
+    release.set()
+    writer.join(60)
+    w2.join(60)
+    assert not writer.is_alive() and w2_done.is_set()
+    assert idx.ivf_rebuilds == 2 and idx._ivf2.built == idx.count
+    s, rows = idx.search(fresh[:1], 1)
+    assert rows[0, 0] == 400
