@@ -299,7 +299,8 @@ class IVF2:
         skips the k-means AND balance splits entirely (the labels
         already encode the post-split assignment) and goes straight to
         the contiguous fill — snapshot restore uses it to rebuild a 10M
-        structure in fill time (~5 s) instead of re-clustering (~60 s).
+        structure in fill time (measured 3.0 s on chip) instead of
+        re-clustering (45.5 s).
         Caller guarantees len(labels) == count."""
         count = int(count)
         if fine_dtype not in ("bf16", "int8", "int4"):
