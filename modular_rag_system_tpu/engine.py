@@ -797,9 +797,31 @@ class RAGEngine:
                 "capacity": self.index.capacity,
                 "dim": self.index.dim,
                 "memory_bytes": self.index.memory_bytes(),
+                "ivf": self._ivf_stats(),
             },
             "encoder": getattr(self.encoder, "name", "unknown"),
             "recent_context_size": len(self.recent_context),
+        }
+
+    def _ivf_stats(self) -> Optional[Dict[str, Any]]:
+        """Operator-facing ANN-tier state (None when no build exists):
+        how much of the corpus is clustered vs exact-tail, drift since
+        the build, and rebuild counters — the numbers that explain ivf
+        latency/recall behavior in production."""
+        iv = getattr(self.index, "_ivf2", None)
+        if iv is None:
+            return None
+        E_c = getattr(iv, "E_c3", None)
+        if E_c is None:
+            E_c = iv.E_c
+        return {
+            "fine_dtype": iv.fine_dtype,
+            "clusters": int(iv.nblk_h.shape[-1]),
+            "built": iv.built,
+            "tail_rows": max(self.index.count - iv.built, 0),
+            "stale_rows": iv.stale_rows,
+            "rebuilds": self.index.ivf_rebuilds,
+            "fine_bytes": int(E_c.size) * E_c.dtype.itemsize,
         }
 
     def export_data(self, path: str) -> str:

@@ -31,6 +31,15 @@ def format_stats(stats: dict) -> str:
     files = stats.get("files", {}) or {}
     keys = stats.get("keystrokes")
     mem_mb = index.get("memory_bytes", 0) / 1e6
+    ivf = index.get("ivf") or {}
+    ann_line = (
+        f"  ann structure:      {ivf.get('clusters', 0)} clusters "
+        f"({ivf.get('fine_dtype', '?')} fine, "
+        f"{ivf.get('fine_bytes', 0) / 1e6:.1f} MB), "
+        f"built {ivf.get('built', 0)} + tail {ivf.get('tail_rows', 0)}, "
+        f"{ivf.get('rebuilds', 0)} rebuilds"
+        if ivf else None
+    )
     lines = [
         "RAG System Statistics",
         "",
@@ -39,6 +48,7 @@ def format_stats(stats: dict) -> str:
         f"  index tier:         {index.get('tier', '?')} "
         f"({index.get('count', 0)}/{index.get('capacity', 0)} rows, "
         f"dim {index.get('dim', '?')}, {mem_mb:.1f} MB HBM)",
+        *([ann_line] if ann_line else []),
         f"  encoder:            {eng.get('encoder', '?')}",
         f"  total queries:      {qs.get('total_queries', 0)}",
         f"  avg retrieval time: {qs.get('avg_retrieval_time', 0.0):.4f}s",

@@ -635,3 +635,33 @@ def test_filtered_refill_mid_range_k_sharded(fake_config):
         assert all(d.source == "rare" for d in res.documents)
     finally:
         eng.shutdown()
+
+
+def test_ivf_stats_surface(fake_config):
+    """get_system_stats() exposes ANN-tier state (fine dtype, built vs
+    tail, rebuilds) and the GUI analytics renders it (r3.9)."""
+    from modular_rag_system_tpu.gui import format_stats
+
+    fake_config.index.tier = "ivf"
+    fake_config.index.ivf_clusters = 4
+    fake_config.index.ivf_rebuild_min = 4
+    eng = RAGEngine(fake_config)
+    for text, source in CORPUS:
+        eng.add_document(text, source=source)
+    st = eng.get_system_stats()
+    ivf = st["index"]["ivf"]
+    assert ivf is not None and ivf["rebuilds"] >= 1
+    assert ivf["built"] + ivf["tail_rows"] == st["index"]["count"]
+    out = format_stats({"engine": st})
+    assert "ann structure" in out and "rebuilds" in out
+    eng.shutdown()
+    # exact tier: no ann block, GUI omits the line
+    fake_config.index.tier = "exact"
+    import shutil
+
+    shutil.rmtree(fake_config.store.storage_path, ignore_errors=True)
+    eng2 = RAGEngine(fake_config)
+    st2 = eng2.get_system_stats()
+    assert st2["index"]["ivf"] is None
+    assert "ann structure" not in format_stats({"engine": st2})
+    eng2.shutdown()
