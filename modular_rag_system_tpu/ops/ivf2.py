@@ -970,13 +970,17 @@ def ivf2_search_core(
     Q, d = q.shape
     if refine_extra is None:
         # int4's 4-bit residual ranking needs wider over-selection to
-        # recover the true top-k at the master rescore.  Measured at
-        # 10M x 384 nprobe=1 (tools/exp_int4_fine.py sweep): extra =
-        # 3k -> recall 0.958, 5k -> 0.976, 10k -> 0.9883, 20k -> 0.9906
-        # = int8's own coverage ceiling.  Default to the recall-parity
-        # point (10k, ~0.7x int8's QPS); speed-first operators can
-        # lower ivf_refine_extra explicitly.
-        refine_extra = 10 * k if _fine_mode(E_c3) == "int4" else k
+        # recover the true top-k at the master rescore, and the need
+        # scales with the CANDIDATE POOL (L*SLAB), not with k: ranking
+        # noise drops a roughly constant fraction of true top-k below a
+        # fixed pool percentile.  Measured recall-parity points
+        # (tools/exp_int4_fine.py at 10M, exp_capacity_14m.py at 14.7M):
+        # 2048-row pool -> extra 100 (0.9883 = int8's own coverage
+        # ceiling), 4096-row pool -> 300 (0.9934); pool/16 tracks both.
+        # Floor at 10k for tiny pools; extra kf is cheap on the dump
+        # path (one wider positional top_k + a (Q, kf) master gather).
+        refine_extra = (max(10 * k, (L * SLAB) // 16)
+                        if _fine_mode(E_c3) == "int4" else k)
     cand_i = []
     if L > 0:
         cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
