@@ -808,21 +808,28 @@ class RAGEngine:
         how much of the corpus is clustered vs exact-tail, drift since
         the build, and rebuild counters — the numbers that explain ivf
         latency/recall behavior in production."""
-        iv = getattr(self.index, "_ivf2", None)
-        if iv is None:
-            return None
-        E_c = getattr(iv, "E_c3", None)
-        if E_c is None:
-            E_c = iv.E_c
-        return {
-            "fine_dtype": iv.fine_dtype,
-            "clusters": int(iv.nblk_h.shape[-1]),
-            "built": iv.built,
-            "tail_rows": max(self.index.count - iv.built, 0),
-            "stale_rows": iv.stale_rows,
-            "rebuilds": self.index.ivf_rebuilds,
-            "fine_bytes": int(E_c.size) * E_c.dtype.itemsize,
-        }
+        # snapshot under the index state lock: count / _ivf2 / rebuild
+        # counter move together during a write or a rebuild swap, and
+        # built + tail_rows == count is an invariant operators (and
+        # tests) rely on
+        with self.index._lock:
+            iv = getattr(self.index, "_ivf2", None)
+            if iv is None:
+                return None
+            count = self.index.count
+            rebuilds = self.index.ivf_rebuilds
+            E_c = getattr(iv, "E_c3", None)
+            if E_c is None:
+                E_c = iv.E_c
+            return {
+                "fine_dtype": iv.fine_dtype,
+                "clusters": int(iv.nblk_h.shape[-1]),
+                "built": iv.built,
+                "tail_rows": max(count - iv.built, 0),
+                "stale_rows": iv.stale_rows,
+                "rebuilds": rebuilds,
+                "fine_bytes": int(E_c.size) * E_c.dtype.itemsize,
+            }
 
     def export_data(self, path: str) -> str:
         return self.store.export_gzip_json(path)

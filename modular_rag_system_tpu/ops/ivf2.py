@@ -976,10 +976,12 @@ def ivf2_search_core(
         # fixed pool percentile.  Measured recall-parity points
         # (tools/exp_int4_fine.py at 10M, exp_capacity_14m.py at 14.7M):
         # 2048-row pool -> extra 100 (0.9883 = int8's own coverage
-        # ceiling), 4096-row pool -> 300 (0.9934); pool/16 tracks both.
-        # Floor at 10k for tiny pools; extra kf is cheap on the dump
-        # path (one wider positional top_k + a (Q, kf) master gather).
-        refine_extra = (max(10 * k, (L * SLAB) // 16)
+        # ceiling), 4096-row pool -> 300 (0.9934).  pool/12 COVERS both
+        # (170 and 341 — slightly over at 10M, which only costs a wider
+        # positional top_k + a (Q, kf) master gather on the dump path;
+        # a divisor that UNDERSHOOTS a parity point would silently give
+        # recall below the documented default).  Floor at 10k.
+        refine_extra = (max(10 * k, (L * SLAB) // 12)
                         if _fine_mode(E_c3) == "int4" else k)
     cand_i = []
     if L > 0:

@@ -430,8 +430,21 @@ class ShardedIndex:
         # and the final swap in _finish_ann_build — readers keep serving
         # the old structure + exact tail throughout (see DeviceIndex)
         with self._build_gate:
+            # snapshot count AND consume the warm start atomically under
+            # the state lock (mirrors DeviceIndex): the warm labels are
+            # validated against this exact count, and engine restore
+            # assigns ivf_warmstart from another thread
             with self._lock:
                 count = self.count
+                warm = self.ivf_warmstart
+                self.ivf_warmstart = None  # single use
+                fdt = self.ivf_fine_dtype
+                if fdt == "auto":
+                    from modular_rag_system_tpu.index import DeviceIndex
+
+                    fdt = ("int8"
+                           if count > DeviceIndex._IVF_AUTO_INT8_ROWS
+                           else "bf16")
             S, axis, mesh = self.S, self.axis, self.mesh
             if count == 0:
                 return
@@ -439,15 +452,7 @@ class ShardedIndex:
             if C is None:
                 C = int(max(8, min(count, round(count ** 0.5))))
             C = min(max(C, 1), count)
-            fdt = self.ivf_fine_dtype
-            if fdt == "auto":
-                from modular_rag_system_tpu.index import DeviceIndex
-
-                fdt = ("int8" if count > DeviceIndex._IVF_AUTO_INT8_ROWS
-                       else "bf16")
             scaled = fdt in ("int8", "int4")
-            warm = self.ivf_warmstart
-            self.ivf_warmstart = None  # single use (see DeviceIndex)
             if warm is not None:
                 cents_h, labels_g = warm
                 if not (0 < len(labels_g) <= count

@@ -565,3 +565,66 @@ def test_build_programs_cached_across_rebuilds(rng, mesh8):
             f"program {key} was rebuilt instead of reused")
     _, got = idx.search(E[:4], 1)
     np.testing.assert_array_equal(got[:, 0], np.arange(4))
+
+
+def test_sharded_queries_serve_during_rebuild(rng, monkeypatch):
+    """Sharded twin of test_queries_serve_during_rebuild: the heavy
+    SPMD k-means+fill runs under the write gate but outside the state
+    lock, so searches keep serving the old structure + exact tail while
+    a threshold-crossing write re-clusters; a second writer is gated."""
+    import threading
+
+    from modular_rag_system_tpu.ops import kmeans as km_mod
+    from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+    from modular_rag_system_tpu.parallel.sharded import ShardedIndex
+    from tests.conftest import cpu_mesh_devices
+
+    mesh = make_index_mesh(4, devices=cpu_mesh_devices(4))
+    idx = ShardedIndex(dim=32, mesh=mesh, tier="ivf", block_rows=64,
+                       ivf_clusters=8, ivf_nprobe=8, ivf_iters=3,
+                       ivf_rebuild_min=64, ivf_fine_dtype="bf16")
+    E = normalized(rng, 400, 32)
+    idx.add(E)
+    assert idx._ivf2 is not None and idx.ivf_rebuilds == 1
+
+    build_started = threading.Event()
+    release = threading.Event()
+    orig = km_mod.kmeans_fit_sharded
+
+    def slow_kmeans(*a, **k):
+        build_started.set()
+        assert release.wait(30), "test deadlock: release never set"
+        return orig(*a, **k)
+
+    monkeypatch.setattr(km_mod, "kmeans_fit_sharded", slow_kmeans)
+    fresh = normalized(rng, 400, 32)
+    writer = threading.Thread(target=idx.add, args=(fresh,), daemon=True)
+    writer.start()
+    assert build_started.wait(30), "rebuild never started"
+
+    got = {}
+
+    def reader():
+        got["res"] = idx.search(E[:2], 3)
+
+    r = threading.Thread(target=reader, daemon=True)
+    r.start()
+    r.join(30)
+    assert not r.is_alive(), "search blocked behind an in-flight rebuild"
+    _, rows = got["res"]
+    assert rows[0, 0] == 0 and rows[1, 0] == 1
+
+    w2_done = threading.Event()
+    w2 = threading.Thread(
+        target=lambda: (idx.delete_rows(np.asarray([5])), w2_done.set()),
+        daemon=True)
+    w2.start()
+    assert not w2_done.wait(0.8), "writer ran during an in-flight rebuild"
+
+    release.set()
+    writer.join(120)
+    w2.join(120)
+    assert not writer.is_alive() and w2_done.is_set()
+    assert idx.ivf_rebuilds == 2 and idx._ivf2.built == idx.count
+    _, rows = idx.search(fresh[:1], 1)
+    assert rows[0, 0] == 400

@@ -4,10 +4,12 @@
 The int8 fine copy caps a single chip at ~10.5M rows (8.05 GB bf16
 master + 4.63 GB fine = 12.7 GB).  The int4 residual copy halves the
 fine bytes, so 14 x 2^20 = 14,680,064 rows fit: 11.27 GB master +
-2.84 GB fine ~= 14.1 GB — beyond what any other tier can serve on one
-chip at ANN speed.  This measures build time, the exact-kernel
-baseline, and the int4 curve at the recall-parity default
-(refine_extra = 10k) on that corpus.
+3.07 GB fine (measured; 9,552 post-split clusters) ~= 14.3 GB —
+beyond what any other tier can serve on one chip at ANN speed.  This
+measures build time, the exact-kernel baseline, and the int4 curve
+over a refine_extra sweep (None = the adaptive pool/12 default, plus
+300/600): recorded run — 142.1k QPS @ recall 0.930 at extra=100,
+69.6k @ 0.9934 at 300, 45.4k @ 0.9984 at 600, vs exact 13.1k @ 1.0.
 
 Same harness as demo_10m.py: on-device chunked clustered corpus,
 chained-scan slope timing (relay RTT cancels).  Prints one JSON line.
