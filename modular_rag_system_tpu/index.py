@@ -364,8 +364,8 @@ class DeviceIndex:
 
             iv = self._ivf2
             nprobe = min(self.ivf_nprobe, iv.n_clusters)
-            U = 4
             L = iv.slots_for_nprobe(nprobe)
+            U = ivf2_ops.auto_u(L)
             L = ((L + U - 1) // U) * U
             tail_max = self._ivf_tail_max()
             inner = functools.partial(

@@ -823,6 +823,51 @@ def fine_scores_call(E_c3, scales3, q, blk, vcnt, U: int, interpret: bool):
     return out.reshape(Q, L * SLAB)
 
 
+def auto_u(L: int) -> int:
+    """Slab tiles DMAed per grid step of the fine kernels.  The grid
+    runs Q * ceil(L/U) steps with a measured ~0.65 us fixed cost each
+    (tools/exp_ivf2_tail_opt.py at 10M nprobe=1: U=4 -> 8 cut the dump
+    kernel 0.518 -> 0.351 ms for identical DMA bytes), so prefer U=8
+    whenever it adds no padding DMAs over U=4 (dead list slots still
+    fetch a block-0 tile each, so rounding L further up costs real
+    bandwidth).  VMEM stays small either way: 8 int8 tiles at
+    SLAB=256 x d=384 is 786 KB."""
+    if -(-L // 8) * 8 == -(-L // 4) * 4:
+        return 8
+    return 4
+
+
+# selection dispatch bound for the dump path: at or below this k the
+# iterative argmax selection replaces lax.top_k (see _iter_topk); the
+# measured crossover is ~100 passes, 64 keeps headroom
+_ITER_SELECT_MAX = 64
+
+
+def _iter_topk(flat, kk: int):
+    """Exact top-kk of ``flat`` (Q, n) by kk passes of (max, argmax,
+    mask): 6.3x faster than ``lax.top_k`` at kk=20 over a (256, 2048)
+    f32 buffer (0.056 vs 0.351 ms, tools/exp_ivf2_tail_opt.py sel
+    sweep) — each pass is two VPU row reductions plus a masked write
+    where top_k pays a sort network over every lane.  Cost is linear in
+    kk (crossover vs top_k ~100), so callers gate on _ITER_SELECT_MAX.
+
+    Semantics match ``lax.top_k`` exactly: descending values, ties by
+    lowest index (argmax returns the first tied lane; picked lanes drop
+    to -inf, so an exhausted buffer yields -inf/lane-0 pairs — filtered
+    by the caller's isfinite guard, same as top_k's -inf tail)."""
+    Q, n = flat.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, n), 1)
+
+    def step(fc, _):
+        p = jnp.argmax(fc, axis=1)
+        v = jnp.max(fc, axis=1)
+        fc = jnp.where(iota == p[:, None], _NEG_INF, fc)
+        return fc, (v, p)
+
+    _, (vs, ps) = jax.lax.scan(step, flat, None, length=kk)
+    return vs.T, ps.T
+
+
 def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
                   interpret: bool = False, bias=None):
     """Fine stage with OUT-OF-KERNEL selection: the score-dump kernel
@@ -851,11 +896,20 @@ def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
         bias2 = jnp.take_along_axis(bias, order, axis=1)  # (Q, L)
         flat = (flat.reshape(Q, L, SLAB) + bias2[:, :, None]).reshape(
             Q, L * SLAB)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, SLAB), 2)
-    sid = (blk2[:, :, None] * SLAB + iota).reshape(Q, L * SLAB)
     kk = min(k, L * SLAB)
-    vals, pos = jax.lax.top_k(flat, kk)
-    slots = jnp.take_along_axis(sid, pos, axis=1)
+    # selection: iterative argmax for serving-size k (6.3x lax.top_k),
+    # top_k past the linear-cost crossover; both yield top_k's exact
+    # value order and tie-breaking (measured id-parity in the sel sweep,
+    # crafted-tie coverage in tests/test_ivf.py)
+    if kk <= _ITER_SELECT_MAX:
+        vals, pos = _iter_topk(flat, kk)
+    else:
+        vals, pos = jax.lax.top_k(flat, kk)
+    # arithmetic slot map — materializing a (Q, L*SLAB) i32 sid buffer
+    # and gathering through it measured 18% slower than this at 10M
+    bi = pos // SLAB
+    off = pos % SLAB
+    slots = jnp.take_along_axis(blk2, bi, axis=1) * SLAB + off
     slots = jnp.where(jnp.isfinite(vals), slots, -1)
     if kk < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - kk)),

@@ -617,8 +617,9 @@ class ShardedIndex:
         S, axis, mesh = self.S, self.axis, self.mesh
         nprobe = min(self.ivf_nprobe, iv.counts.shape[1])
         refine_extra = self.ivf_refine_extra
-        U = 4
         L = max(int(np.sort(iv.nblk_h, axis=1)[:, ::-1][:, :nprobe].sum(axis=1).max()), 1)
+        from modular_rag_system_tpu.ops.ivf2 import auto_u
+        U = auto_u(L)
         L = ((L + U - 1) // U) * U
         tail_s = self._ivf_tail_s()
         interpret = _use_interpret()

@@ -650,3 +650,84 @@ def test_queries_serve_during_rebuild(rng, monkeypatch):
     assert idx.ivf_rebuilds == 2 and idx._ivf2.built == idx.count
     s, rows = idx.search(fresh[:1], 1)
     assert rows[0, 0] == 400
+
+
+def test_iter_topk_matches_lax_topk_with_ties():
+    """r3.10 iterative-argmax selection must reproduce ``lax.top_k``
+    exactly — descending values, ties by lowest index, -inf exhaustion
+    — on a buffer crafted to hit every edge: duplicate values inside
+    and across block boundaries, a row with fewer finite lanes than k,
+    and an all--inf row."""
+    import jax
+
+    from modular_rag_system_tpu.ops.ivf2 import _iter_topk
+
+    n, kk = 96, 12
+    rows = []
+    rng_l = np.random.default_rng(7)
+    base = rng_l.standard_normal(n).astype(np.float32)
+    rows.append(base)  # generic
+    tied = base.copy()
+    tied[10:30] = 1.5  # 20-way tie straddling kk
+    rows.append(tied)
+    sparse = np.full(n, -np.inf, np.float32)
+    sparse[[3, 40, 77]] = [0.5, 0.9, 0.1]  # fewer finite than kk
+    rows.append(sparse)
+    rows.append(np.full(n, -np.inf, np.float32))  # exhausted
+    flat = jnp.asarray(np.stack(rows))
+
+    rv, rp = jax.jit(lambda f: jax.lax.top_k(f, kk))(flat)
+    iv_, ip_ = jax.jit(lambda f: _iter_topk(f, kk))(flat)
+    rv, rp, iv_, ip_ = map(np.asarray, (rv, rp, iv_, ip_))
+    np.testing.assert_array_equal(iv_, rv)
+    # positions must agree wherever the value is finite (top_k's own
+    # -inf tail order is unspecified; the caller maps non-finite to -1)
+    finite = np.isfinite(rv)
+    np.testing.assert_array_equal(ip_[finite], rp[finite])
+
+
+def test_auto_u_padding_rule():
+    """auto_u prefers 8 tiles/step only when rounding L up to 8 adds no
+    padding DMAs over rounding to 4."""
+    from modular_rag_system_tpu.ops.ivf2 import auto_u
+
+    for L, want in ((8, 8), (16, 8), (13, 8), (15, 8), (5, 8), (6, 8),
+                    (7, 8), (9, 4), (10, 4), (12, 4), (17, 4), (20, 4),
+                    (1, 4), (4, 4)):
+        got = auto_u(L)
+        assert got == want, (L, got, want)
+        # the rule's invariant, not just the table: equal padded L
+        if got == 8:
+            assert -(-L // 8) * 8 == -(-L // 4) * 4
+
+
+def test_dump_selection_dispatch_boundary(rng):
+    """fine_call_xla must return identical (vals, slots) on both sides
+    of the _ITER_SELECT_MAX dispatch boundary for the same inputs."""
+    import jax
+
+    import modular_rag_system_tpu.ops.ivf2 as iv2
+    from modular_rag_system_tpu.ops.ivf2 import (
+        IVF2, block_lists, fine_call_xla)
+
+    d, N, C = 64, 4096, 4
+    E = jnp.asarray(normalized(rng, N, d))
+    iv = IVF2.build(E, N, n_clusters=C, iters=3, nprobe=C,
+                    fine_dtype="int8")
+    q = jnp.asarray(normalized(rng, 4, d))
+    _, probes = jax.lax.top_k(jnp.dot(q, iv.centroids.T), C)
+    L = ((int(np.asarray(iv.nblk).sum()) + 3) // 4) * 4
+    blk, vcnt = block_lists(probes, iv.blk_start, iv.nblk, iv.counts, L)
+    kf = 24
+    v_iter, s_iter = fine_call_xla(iv.E_c3, iv.scales3, q, blk, vcnt,
+                                   kf, 4, True)
+    orig = iv2._ITER_SELECT_MAX
+    try:
+        iv2._ITER_SELECT_MAX = 0  # force the top_k branch
+        v_tk, s_tk = fine_call_xla(iv.E_c3, iv.scales3, q, blk, vcnt,
+                                   kf, 4, True)
+    finally:
+        iv2._ITER_SELECT_MAX = orig
+    np.testing.assert_array_equal(np.asarray(s_iter), np.asarray(s_tk))
+    np.testing.assert_allclose(np.asarray(v_iter), np.asarray(v_tk),
+                               rtol=0, atol=0)
