@@ -52,6 +52,7 @@ from modular_rag_system_tpu.ops.fused_topk import (
     _max_block_rows,
     _round_up,
     _select_topk,
+    _topk_positional,
     _use_interpret,
     fused_topk,
 )
@@ -73,9 +74,13 @@ _LANE = 128
 # coincidence) at ~9% extra pass-2 slab traffic for k=10 (ADVICE r2).
 _MARGIN_BINS = 1
 
-# Bin-selection group/subgroup sizes for the three-level pruned top-k
-# below.
-_GROUP = 512
+# Bin-selection group size for the two-level pruned top-k below.  512
+# was tuned for the all-top_k r3.3 design; the r3.10 re-sweep with the
+# iterative-argmax selection at both levels moved the optimum to 128
+# (level-2 width kg*G drops 8192 -> 2048, squarely in _iter_topk's
+# winning regime): select_bins over (256, 32768) measured 0.449 ->
+# 0.115 ms, and 1.66 -> 1.36 over (256, 163840), ids identical.
+_GROUP = 128
 _SUB = 32
 
 # Throughput-optimal query-batch size.  Per-query cost grows
@@ -101,46 +106,78 @@ def _chunked_q(raw_fn, q, Q: int, k: int):
     return vals.reshape(Qp, k)[:Q], ids.reshape(Qp, k)[:Q]
 
 
+# Dead bins (entirely past ``count``) get a strictly-DECREASING finite
+# ramp instead of a flat -inf: every selection stage then sees distinct
+# values, so both ``lax.top_k`` and the iterative argmax return DISTINCT
+# bin ids even when fewer than kb live bins exist.  (A flat -inf tail
+# makes the iterative selection repeat lane 0 — argmax over all-equal
+# lanes — and a duplicated LIVE bin would duplicate real rows in pass 2;
+# caught by test_twopass_count_smaller_than_k at count=4 < k.)  The ramp
+# top sits ~32 orders of magnitude below any real f32 dot product and
+# steps by 2e32 (> the f32 ulp at 1.5e38), staying finite and distinct
+# for nb up to ~1M bins.
+_DEAD_TOP = np.float32(-1.0e38)
+_DEAD_STEP = np.float32(2.0e32)
+
+
+def _mask_bins(binmax, count, nb: int, bin_width: int):
+    """Dead/straddle handling shared by the three two-pass routes:
+    the straddle bin is forced to +inf (it holds the live/dead boundary
+    and must always be rescanned), dead bins to the distinct decreasing
+    ramp above (lowest-id dead bin ranks first, mirroring top_k's
+    lowest-position -inf tie order)."""
+    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
+    dead = bin_base >= count
+    straddle = (bin_base < count) & (bin_base + bin_width > count)
+    ramp = _DEAD_TOP - jnp.arange(nb, dtype=jnp.float32) * _DEAD_STEP
+    bm = jnp.where(dead[None, :], ramp[None, :], binmax)
+    return jnp.where(straddle[None, :], jnp.inf, bm)
+
+
 def select_bins(bm, kb: int):
     """Exact top-``kb`` bins of ``bm`` (Qp, nb), ties by LOWEST bin id.
 
     Direct ``lax.top_k`` over nb = cap/bin_width bins is the stage that
     made end-to-end QPS regress with Q (measured 0.45 ms of the 2.4 ms
-    Q=256 batch at 1M rows).  Two levels, both plain ``lax.top_k``:
+    Q=256 batch at 1M rows).  Two levels:
 
     1. group maxima (nb/_GROUP groups) -> top-(kb+2) groups, SORTED by
        group id.
-    2. ``lax.top_k`` over the gathered kg * _GROUP candidates, mapped
-       back to global bin ids arithmetically.
+    2. positional top-kb over the gathered kg * _GROUP candidates,
+       mapped back to global bin ids arithmetically.
 
     Exactness under ties (the r3.3 redesign, A/B'd in
     ``tools/exp_select_bins.py``): because the surviving groups are
     sorted ascending, candidate POSITIONS ascend in global bin id, and
-    ``lax.top_k`` breaks value ties by lowest position — which is then
-    exactly the lowest-bin-id tie order.  At level 1 the same holds in
-    natural group order: a group tied at the kb-th boundary value with
-    a lower id contains a lower-id bin at that value, which the
-    lowest-id tie order ranks into the true top-kb first, so every
+    positional top-k breaks value ties by lowest position — which is
+    then exactly the lowest-bin-id tie order.  At level 1 the same
+    holds in natural group order: a group tied at the kb-th boundary
+    value with a lower id contains a lower-id bin at that value, which
+    the lowest-id tie order ranks into the true top-kb first, so every
     boundary-tied group that matters wins its tie (the +2 margin is
-    kept as a belt anyway).  This replaced the k-step iterative
-    ``_select_topk`` over the candidates: at widths in the thousands a
-    single sort-unit top_k beats the 14-pass max+where loop (measured
-    0.441 vs 0.499 ms at Qp=256, nb=32768), and per-op dispatch
-    overhead punishes anything with more stages (a three-level variant
-    measured 0.618 ms, an iterative two-level 0.704 ms).
+    kept as a belt anyway).
+
+    Both levels dispatch through ``_topk_positional``: at serving kb
+    the iterative argmax selection (scan of max/argmax/mask — HALF the
+    per-pass ops of the unrolled id-plane ``_select_topk`` the r3.3
+    A/B rejected) beats the sort-unit top_k once the level-2 width is
+    in the low thousands, which is exactly where _GROUP=128 puts it.
+    r3.10 re-sweep at Qp=256 (ids identical, ties included):
+    nb=32768 0.449 -> 0.115 ms, nb=163840 1.66 -> 1.36 ms; wide-k
+    refills (kb > _ITER_SELECT_MAX) keep top_k at both levels.
     """
     Qp, nb = bm.shape
     if nb % _GROUP or nb // _GROUP <= kb + 2:
-        _, bins = jax.lax.top_k(bm, kb)
+        _, bins = _topk_positional(bm, kb)
         return bins
     G = nb // _GROUP
     g3 = bm.reshape(Qp, G, _GROUP)
     gmax = jnp.max(g3, axis=2)
     kg = min(kb + 2, G)
-    _, gsel = jax.lax.top_k(gmax, kg)  # (Qp, kg)
+    _, gsel = _topk_positional(gmax, kg)  # (Qp, kg)
     gsel = jnp.sort(gsel, axis=1)  # ascending id -> exact tie order below
     cand_v = jnp.take_along_axis(g3, gsel[:, :, None], axis=1)
-    _, pos = jax.lax.top_k(cand_v.reshape(Qp, kg * _GROUP), kb)
+    _, pos = _topk_positional(cand_v.reshape(Qp, kg * _GROUP), kb)
     return jnp.take_along_axis(gsel, pos // _GROUP, axis=1) * _GROUP \
         + pos % _GROUP
 
@@ -162,8 +199,11 @@ def _sorted_slab_ids(bins, bin_width: int):
 
 def _topk_by_position(scores, rid_flat, k: int):
     """Top-k of ``scores`` with ids from ``rid_flat`` (must ascend along
-    positions — see ``_sorted_slab_ids``); ties by lowest global id."""
-    vals, pos = jax.lax.top_k(scores, k)
+    positions — see ``_sorted_slab_ids``); ties by lowest global id.
+    Dispatches to the iterative selection at serving k (the kb*bw-wide
+    pass-2 tail measured 0.113 -> ~0 ms at 10M/bw=64, 0.015 -> 0.002
+    at 1M/bw=32)."""
+    vals, pos = _topk_positional(scores, k)
     return vals, jnp.take_along_axis(rid_flat, pos, axis=1)
 
 
@@ -359,11 +399,7 @@ def twopass_topk_raw(E, count, q, k: int, block_rows: int, bin_width: int,
     nb = cap // bin_width
 
     binmax = binmax_call(E, q, block_rows, bin_width, interpret).T  # (Qp, nb)
-    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
-    dead = bin_base >= count
-    straddle = (bin_base < count) & (bin_base + bin_width > count)
-    bm = jnp.where(dead[None, :], _NEG_INF, binmax)
-    bm = jnp.where(straddle[None, :], jnp.inf, bm)
+    bm = _mask_bins(binmax, count, nb, bin_width)
     kb = min(k + 1 + _MARGIN_BINS, nb)
     bins = select_bins(bm, kb)  # (Qp, kb), distinct per row
 
@@ -492,11 +528,7 @@ def twopass_topk_int8_raw(E_q, scales, count, q, k: int, block_rows: int,
     binmax = binmax_int8_call(
         E_q, scales_bins, q_i8, q_scale, block_rows, bin_width, interpret
     ).T  # (Qp, nb)
-    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
-    dead = bin_base >= count
-    straddle = (bin_base < count) & (bin_base + bin_width > count)
-    bm = jnp.where(dead[None, :], _NEG_INF, binmax)
-    bm = jnp.where(straddle[None, :], jnp.inf, bm)
+    bm = _mask_bins(binmax, count, nb, bin_width)
     # pass-1 ranks bins with a QUANTIZED query while pass-2 (and the
     # single-pass kernel this is a drop-in for) scores the f32 query:
     # query-quantization error can mis-rank bins by ~0.3-0.5% relative —
@@ -577,11 +609,7 @@ def twopass_topk_int8_master_raw(E_q, scales, E_master, count, q, k: int,
     binmax = binmax_int8_call(
         E_q, scales_bins, q_i8, q_scale, block_rows, bin_width, interpret
     ).T  # (Qp, nb)
-    bin_base = jnp.arange(nb, dtype=jnp.int32) * bin_width
-    dead = bin_base >= count
-    straddle = (bin_base < count) & (bin_base + bin_width > count)
-    bm = jnp.where(dead[None, :], _NEG_INF, binmax)
-    bm = jnp.where(straddle[None, :], jnp.inf, bm)
+    bm = _mask_bins(binmax, count, nb, bin_width)
     kb = min(k + 1 + _MARGIN_BINS + extra_bins, nb)
     bins = select_bins(bm, kb)
 

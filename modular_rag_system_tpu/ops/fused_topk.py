@@ -75,6 +75,49 @@ def _select_topk(aug_scores, aug_ids, k: int):
     )
 
 
+# positional-selection dispatch bound: at or below this k the iterative
+# argmax selection replaces lax.top_k (measured crossover ~100 passes on
+# serving-width buffers; 64 keeps headroom — see _iter_topk)
+_ITER_SELECT_MAX = 64
+
+
+def _iter_topk(flat, kk: int):
+    """Exact top-kk of ``flat`` (Q, n) by kk passes of (max, argmax,
+    mask) under ``lax.scan``: each pass is two VPU row reductions plus a
+    masked write where ``lax.top_k`` pays a sort network over every
+    lane.  Measured (tools/exp_ivf2_tail_opt.py + /tmp sel sweeps,
+    Q=256): 6.3x top_k at n=2048/kk=20 (0.056 vs 0.351 ms), 9x at
+    n=448/kk=10, and the core of the r3.10 ``select_bins`` restructure.
+    Cost is linear in kk AND n, so callers gate on _ITER_SELECT_MAX and
+    keep top_k for wide-k refills.
+
+    Semantics match ``lax.top_k`` exactly: descending values, ties by
+    lowest index (argmax returns the first tied lane; picked lanes drop
+    to -inf, so an exhausted buffer yields -inf/lane-0 pairs — callers
+    filter non-finite rows, same as top_k's -inf tail).  Unlike the
+    unrolled ``_select_topk`` above this selects by POSITION (no id
+    plane) and scans instead of unrolling — half the per-pass ops."""
+    Q, n = flat.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, n), 1)
+
+    def step(fc, _):
+        p = jnp.argmax(fc, axis=1)
+        v = jnp.max(fc, axis=1)
+        fc = jnp.where(iota == p[:, None], _NEG_INF, fc)
+        return fc, (v, p)
+
+    _, (vs, ps) = jax.lax.scan(step, flat, None, length=kk)
+    return vs.T, ps.T
+
+
+def _topk_positional(flat, kk: int):
+    """``lax.top_k`` semantics, dispatched to ``_iter_topk`` at serving
+    k — both return (vals desc, positions) with lowest-index ties."""
+    if kk <= _ITER_SELECT_MAX:
+        return _iter_topk(flat, kk)
+    return jax.lax.top_k(flat, kk)
+
+
 def _bin_reduce(scores, gids, bin_width):
     """Optional per-tile candidate reduction: max over bins of
     ``bin_width`` lanes (must be a multiple of 128 — Mosaic only supports

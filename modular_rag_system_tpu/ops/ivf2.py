@@ -55,6 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from modular_rag_system_tpu.ops.fused_topk import (
+    _ITER_SELECT_MAX,
+    _iter_topk,
     _select_topk,
     _use_interpret,
 )
@@ -835,37 +837,6 @@ def auto_u(L: int) -> int:
     if -(-L // 8) * 8 == -(-L // 4) * 4:
         return 8
     return 4
-
-
-# selection dispatch bound for the dump path: at or below this k the
-# iterative argmax selection replaces lax.top_k (see _iter_topk); the
-# measured crossover is ~100 passes, 64 keeps headroom
-_ITER_SELECT_MAX = 64
-
-
-def _iter_topk(flat, kk: int):
-    """Exact top-kk of ``flat`` (Q, n) by kk passes of (max, argmax,
-    mask): 6.3x faster than ``lax.top_k`` at kk=20 over a (256, 2048)
-    f32 buffer (0.056 vs 0.351 ms, tools/exp_ivf2_tail_opt.py sel
-    sweep) — each pass is two VPU row reductions plus a masked write
-    where top_k pays a sort network over every lane.  Cost is linear in
-    kk (crossover vs top_k ~100), so callers gate on _ITER_SELECT_MAX.
-
-    Semantics match ``lax.top_k`` exactly: descending values, ties by
-    lowest index (argmax returns the first tied lane; picked lanes drop
-    to -inf, so an exhausted buffer yields -inf/lane-0 pairs — filtered
-    by the caller's isfinite guard, same as top_k's -inf tail)."""
-    Q, n = flat.shape
-    iota = jax.lax.broadcasted_iota(jnp.int32, (Q, n), 1)
-
-    def step(fc, _):
-        p = jnp.argmax(fc, axis=1)
-        v = jnp.max(fc, axis=1)
-        fc = jnp.where(iota == p[:, None], _NEG_INF, fc)
-        return fc, (v, p)
-
-    _, (vs, ps) = jax.lax.scan(step, flat, None, length=kk)
-    return vs.T, ps.T
 
 
 def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,

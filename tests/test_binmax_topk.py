@@ -374,3 +374,27 @@ def test_twopass_int8_master_chunked_matches_unchunked(rng):
         np.testing.assert_array_equal(
             np.asarray(i_all)[h * _CHUNK_Q:(h + 1) * _CHUNK_Q],
             np.asarray(ih), err_msg=f"half={h}")
+
+
+def test_select_bins_distinct_when_live_bins_scarce(rng):
+    """r3.10: with fewer live bins than kb, every selection stage must
+    still return DISTINCT bin ids (the dead-bin ramp in _mask_bins) —
+    a duplicated live bin would duplicate real rows in pass 2.  Covers
+    both the grouped path (nb//_GROUP > kb+2) and the flat fallback."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops import binmax_topk as bt
+
+    kb = 14
+    for nb in (4096, 512):  # grouped (32 groups > kb+2) and fallback
+        binmax = jnp.asarray(
+            rng.standard_normal((8, nb)).astype(np.float32))
+        for count in (1, 33, 64 * 3 + 7):  # 1..3 live bins at bw=64
+            bm = bt._mask_bins(binmax, jnp.int32(count), nb, 64)
+            bins = np.asarray(bt.select_bins(bm, kb))
+            for r in range(bins.shape[0]):
+                assert len(set(bins[r].tolist())) == kb, (nb, count)
+            # the straddle/live bins must always be selected
+            live = set(range((count + 63) // 64))
+            for r in range(bins.shape[0]):
+                assert live <= set(bins[r].tolist()), (nb, count)
