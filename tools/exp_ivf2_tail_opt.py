@@ -135,8 +135,13 @@ def main() -> int:
         print(f"dump U={U} done: {t:.3f}", file=sys.stderr, flush=True)
 
     # ---- selection variants on a resident score buffer ----
-    # one real score buffer (values + realistic -inf pattern)
-    def mk_flat(qq):
+    # one real score buffer (values + realistic -inf pattern).  NOTE:
+    # every array is a jit ARGUMENT — closing over the 4.4 GB fine copy
+    # captures it as an HLO constant and stalls the remote compile (see
+    # the verify skill; this stalled the first run of this tool).
+    U = 4
+
+    def mk_flat(qq, cents, bs, nb, cn, Ec, sc3):
         L = L8
         cs = jnp.dot(qq, cents.T, preferred_element_type=jnp.float32)
         _, probes = jax.lax.top_k(cs, nprobe)
@@ -148,8 +153,7 @@ def main() -> int:
         flat = fine_scores_call(Ec, sc3, qq, blk2, vc2, U, interp)
         return flat, blk2
 
-    U = 4
-    FLAT, BLK2 = jax.jit(mk_flat)(QS[0])
+    FLAT, BLK2 = jax.jit(mk_flat)(QS[0], cents, bs, nb, cn, Ec, sc3)
     jax.block_until_ready(FLAT)
     LS = L8 * SLAB
 
