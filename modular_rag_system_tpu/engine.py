@@ -147,9 +147,14 @@ class RAGEngine:
                     # skip the k-means, keep the snapshot's clustering
                     self.index.ivf_warmstart = (data["ivf_centroids"],
                                                 data["ivf_labels"])
-                if emb.shape[0]:
-                    self.index.add(np.asarray(emb, dtype=np.float32))
-                self.index.ivf_warmstart = None
+                try:
+                    if emb.shape[0]:
+                        self.index.add(np.asarray(emb, dtype=np.float32))
+                finally:
+                    # always cleared: a stale warm start surviving a
+                    # failed add() could be consumed by a later rebuild
+                    # over a DIFFERENT corpus (ADVICE r3)
+                    self.index.ivf_warmstart = None
         if self.index.count < n_store:
             # Rebuild missing rows POSITIONALLY, including tombstones:
             # skipping deleted rows would shift every later embedding and

@@ -538,9 +538,11 @@ class DeviceIndex:
             # the threshold rebuild inside add() consumes this and skips
             # the k-means (see build_ann)
             idx.ivf_warmstart = (data["ivf_centroids"], data["ivf_labels"])
-        if count:
-            idx.add(snapshot_embeddings(data)[:count])
-        idx.ivf_warmstart = None
+        try:
+            if count:
+                idx.add(snapshot_embeddings(data)[:count])
+        finally:
+            idx.ivf_warmstart = None  # never survive a failed restore
         return idx
 
     def memory_bytes(self) -> int:

@@ -46,6 +46,7 @@ it never had, now strictly better than the exact kernel at scale.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -61,6 +62,8 @@ from modular_rag_system_tpu.ops.fused_topk import (
     _use_interpret,
 )
 from modular_rag_system_tpu.ops.kmeans import init_centroids_from_rows, kmeans_fit
+
+logger = logging.getLogger(__name__)
 
 SLAB = 256  # fine-stage block rows: 192 KB bf16 / 96 KB int8 per DMA
 _NEG_INF = float("-inf")
@@ -315,9 +318,22 @@ class IVF2:
                 raise ValueError(
                     f"warm_start labels cover {len(labels_h)} rows, "
                     f"build count is {count}")
+            # label VALUES must address the centroid table: a corrupt or
+            # mismatched snapshot would otherwise produce clamped gathers
+            # and a silently wrong clustering (ADVICE r3) — fall back to
+            # a cold k-means instead
+            labels_arr = np.asarray(labels_h, np.int32)
+            if count and (labels_arr.min() < 0
+                          or labels_arr.max() >= cents_h.shape[0]):
+                logger.warning(
+                    "warm_start labels out of range [0, %d); ignoring "
+                    "snapshot clustering and re-running k-means",
+                    cents_h.shape[0])
+                warm_start = None
+        if warm_start is not None:
             centroids = jnp.asarray(cents_h, jnp.float32)
             lab = np.full(cap, -1, np.int32)
-            lab[:count] = np.asarray(labels_h, np.int32)
+            lab[:count] = labels_arr
             labels = jnp.asarray(lab)
         else:
             if n_clusters is None:
@@ -393,6 +409,13 @@ class IVF2:
         r = r0[mask]
         if r.size == 0:
             return
+        if self.fine_dtype == "int4" and self.block_cluster is None:
+            # the residual re-quantization needs each slot's centroid;
+            # a bare-constructed instance (no build()) cannot supply it
+            raise ValueError(
+                "IVF2.update_rows with fine_dtype='int4' requires "
+                "block_cluster (per-block cluster ids); this instance "
+                "was constructed without it — use IVF2.build()")
         vals = (np.zeros((len(r), self.E_c3.shape[2]), np.float32)
                 if mat is None else np.asarray(mat, np.float32)[mask])
         slots = self.inv_perm[jnp.asarray(r)]
@@ -893,6 +916,10 @@ def fine_call_xla(E_c3, scales3, q, blk, vcnt, k: int, U: int = 4,
 # the constant-memory selecting kernel (only reachable by probe-all
 # configs on big corpora — serving nprobes keep L*SLAB*Q tiny)
 _DUMP_MAX_BYTES = 1 << 31
+# master-rescore gather cap: the int4 default over-selection is pool-
+# proportional, so the (Q, kf, d) f32 gather must be budgeted (ADVICE
+# r3); 1 GiB keeps it small next to a multi-GB corpus
+_RESCORE_MAX_BYTES = 1 << 30
 # per-QUERY VMEM bound for the dump kernel: its out block per grid step
 # is the full (1, L//U, U*SLAB) f32 row = L*SLAB*4 bytes resident in
 # VMEM (fine_scores_call out_specs), independent of Q — a deep-nprobe
@@ -1008,6 +1035,20 @@ def ivf2_search_core(
         # recall below the documented default).  Floor at 10k.
         refine_extra = (max(10 * k, (L * SLAB) // 12)
                         if _fine_mode(E_c3) == "int4" else k)
+        # the master rescore gathers a (Q, kf, d) f32 tensor; the pool-
+        # proportional int4 default has no intrinsic cap, so a deep-
+        # nprobe config at a big Q (10M rows, nprobe~64, Q=256 -> kf
+        # ~18k, ~7 GB) would OOM next to the corpus.  Refuse loudly
+        # rather than silently lowering recall below the documented
+        # parity divisor; an EXPLICIT refine_extra still overrides.
+        gather = Q * min(k + refine_extra, L * SLAB) * d * 4
+        if gather > _RESCORE_MAX_BYTES:
+            raise ValueError(
+                f"int4 master rescore would gather {gather >> 20} MiB "
+                f"(Q={Q}, pool={L * SLAB}, refine_extra={refine_extra}); "
+                f"cap is {_RESCORE_MAX_BYTES >> 20} MiB. Lower nprobe, "
+                f"split the query batch, use ivf_fine_dtype='int8', or "
+                f"pass refine_extra explicitly.")
     cand_i = []
     if L > 0:
         cs = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)

@@ -19,6 +19,7 @@ module is the TPU-native equivalent called for by BASELINE.json.
 
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Dict, Optional, Tuple
 
@@ -35,6 +36,8 @@ from modular_rag_system_tpu.ops.fused_topk import (
 )
 from modular_rag_system_tpu.ops.quantize import quantize_rows_jit
 from modular_rag_system_tpu.parallel.mesh import make_index_mesh
+
+logger = logging.getLogger(__name__)
 
 
 def _next_pow2(n: int) -> int:
@@ -458,6 +461,16 @@ class ShardedIndex:
                 if not (0 < len(labels_g) <= count
                         and cents_h.shape[1] == self.dim):
                     warm = None
+                else:
+                    # label VALUES must address the centroid table — a
+                    # corrupt snapshot would silently produce clamped
+                    # gathers and a wrong clustering (ADVICE r3)
+                    lg = np.asarray(labels_g, np.int32)
+                    if lg.min() < 0 or lg.max() >= cents_h.shape[0]:
+                        logger.warning(
+                            "warm_start labels out of range [0, %d); "
+                            "re-running k-means", cents_h.shape[0])
+                        warm = None
             if warm is not None:
                 # snapshot warm start: skip k-means AND balance splits
                 # (the labels already encode the post-split assignment)
@@ -1080,11 +1093,14 @@ class ShardedIndex:
         if "ivf_centroids" in data:
             # consumed by the threshold rebuild inside add()
             idx.ivf_warmstart = (data["ivf_centroids"], data["ivf_labels"])
-        if int(data["count"]):
-            idx.add(np.asarray(
-                snapshot_embeddings(data)[: int(data["count"])], dtype=np.float32
-            ))
-        idx.ivf_warmstart = None
+        try:
+            if int(data["count"]):
+                idx.add(np.asarray(
+                    snapshot_embeddings(data)[: int(data["count"])],
+                    dtype=np.float32,
+                ))
+        finally:
+            idx.ivf_warmstart = None  # never survive a failed restore
         return idx
 
     def memory_bytes(self) -> int:

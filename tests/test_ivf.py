@@ -731,3 +731,73 @@ def test_dump_selection_dispatch_boundary(rng):
     np.testing.assert_array_equal(np.asarray(s_iter), np.asarray(s_tk))
     np.testing.assert_allclose(np.asarray(v_iter), np.asarray(v_tk),
                                rtol=0, atol=0)
+
+
+def test_warmstart_rejects_out_of_range_labels(rng, caplog):
+    """Corrupt snapshot labels (values outside [0, C)) must NOT produce a
+    silently wrong clustering — build falls back to cold k-means
+    (ADVICE r3)."""
+    import logging
+
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
+
+    E, _ = clustered_corpus(rng, n_clusters=8, per=100, d=32)
+    n = E.shape[0]
+    Ej = jnp.asarray(E)
+    iv = IVF2.build(Ej, n, n_clusters=8, iters=5, fine_dtype="bf16")
+    bad = iv.labels_host()
+    bad[0] = iv.n_clusters + 7  # out of range
+    with caplog.at_level(logging.WARNING):
+        iv2 = IVF2.build(Ej, n, n_clusters=8, iters=5, fine_dtype="bf16",
+                         warm_start=(np.asarray(iv.centroids), bad))
+    assert "out of range" in caplog.text
+    # the cold rebuild is still a valid structure over every row
+    perm = np.asarray(iv2.perm)
+    got = np.sort(perm[perm >= 0])
+    np.testing.assert_array_equal(got, np.arange(n))
+
+
+def test_int4_update_rows_requires_block_cluster(rng):
+    """A bare-constructed int4 IVF2 (no block_cluster) must fail loudly
+    in update_rows, not with an opaque TypeError inside the jitted
+    scatter (ADVICE r3)."""
+    import pytest
+
+    from modular_rag_system_tpu.ops.ivf2 import IVF2
+
+    E = jnp.asarray(normalized(rng, 512, 32))
+    iv = IVF2.build(E, 512, n_clusters=4, iters=3, fine_dtype="int4")
+    bare = IVF2(iv.centroids, iv.E_c3, iv.scales3, iv.perm, iv.inv_perm,
+                iv.blk_start, iv.nblk, iv.counts, iv.built, iv.nprobe,
+                "int4")  # block_cluster defaults to None
+    with pytest.raises(ValueError, match="block_cluster"):
+        bare.update_rows(np.asarray([0]), normalized(rng, 1, 32))
+
+
+def test_int4_default_refine_budget_guard(rng, monkeypatch):
+    """The pool-proportional int4 over-selection must refuse configs
+    whose master rescore gather exceeds the budget instead of silently
+    OOMing (ADVICE r3, medium)."""
+    import pytest
+
+    import modular_rag_system_tpu.ops.ivf2 as iv2
+    from modular_rag_system_tpu.ops.ivf2 import IVF2, ivf2_search_core
+
+    E = jnp.asarray(normalized(rng, 1024, 32))
+    iv = IVF2.build(E, 1024, n_clusters=4, iters=3, fine_dtype="int4")
+    q = jnp.asarray(normalized(rng, 4, 32))
+    L = iv.slots_for_nprobe(4)
+    L = ((L + 3) // 4) * 4
+    monkeypatch.setattr(iv2, "_RESCORE_MAX_BYTES", 1024)
+    with pytest.raises(ValueError, match="master rescore"):
+        ivf2_search_core(
+            E, iv.E_c3, iv.scales3, iv.perm, iv.centroids, iv.blk_start,
+            iv.nblk, iv.counts, jnp.int32(1024), jnp.int32(1024), q,
+            k=10, nprobe=4, L=L, tail_max=0, interpret=True)
+    # an EXPLICIT refine_extra overrides the default's budget check
+    vals, rows = ivf2_search_core(
+        E, iv.E_c3, iv.scales3, iv.perm, iv.centroids, iv.blk_start,
+        iv.nblk, iv.counts, jnp.int32(1024), jnp.int32(1024), q,
+        k=10, nprobe=4, L=L, tail_max=0, interpret=True,
+        refine_extra=100)
+    assert np.asarray(rows).shape == (4, 10)
