@@ -198,6 +198,15 @@ class MeshConfig:
     index_axis: str = "index"
     data_axis: str = "data"
     model_axis: str = "model"
+    # multi-host bring-up (parallel/multihost.py): when True the engine
+    # calls jax.distributed.initialize before building the mesh and
+    # derives index_shards/dcn_slices from the GLOBAL device list.
+    # coordinator/num_processes/process_id fall back to RAG_COORDINATOR/
+    # RAG_NUM_PROCESSES/RAG_PROCESS_ID, then to JAX pod auto-detection.
+    multihost: bool = False
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 @dataclass

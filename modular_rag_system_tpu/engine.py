@@ -69,6 +69,17 @@ _STOPWORDS = frozenset(
 class RAGEngine:
     def __init__(self, config: Optional[RAGConfig] = None) -> None:
         self.config = config or RAGConfig()
+        if self.config.mesh.multihost:
+            # multi-host bring-up FIRST: jax.distributed.initialize must
+            # precede any JAX call that initialises the XLA backend (the
+            # encoder build below is one), and the mesh defaults derive
+            # from the GLOBAL device list it establishes
+            # (SURVEY.md:446-451; parallel/multihost.py)
+            from modular_rag_system_tpu.parallel.multihost import (
+                ensure_multihost,
+            )
+
+            ensure_multihost(self.config)
         self.encoder = build_encoder(self.config)
         token_counter = getattr(self.encoder, "token_count", None)
         self.chunker = TextChunker(

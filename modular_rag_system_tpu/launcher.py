@@ -37,6 +37,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder", default=None, choices=["auto", "minilm", "fake"],
                    help="encoder override")
     p.add_argument("--shards", type=int, default=None, help="index mesh shards")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host bring-up: jax.distributed.initialize "
+                        "(RAG_COORDINATOR/RAG_NUM_PROCESSES/RAG_PROCESS_ID "
+                        "env vars, or TPU pod auto-detection) and shard the "
+                        "index over the GLOBAL device mesh (docs/scaling.md)")
     mode = p.add_mutually_exclusive_group()
     mode.add_argument("--cli", action="store_true", help="interactive REPL")
     mode.add_argument("--gui", action="store_true", help="Tkinter GUI (needs a display)")
@@ -62,6 +67,8 @@ def load_config(args) -> RAGConfig:
         overrides["embedding.model"] = args.encoder
     if args.shards is not None:
         overrides["mesh.index_shards"] = args.shards
+    if args.multihost:
+        overrides["mesh.multihost"] = True
     return RAGConfig.load(args.config, overrides=overrides, write_default=bool(args.config))
 
 

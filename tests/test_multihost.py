@@ -1,0 +1,150 @@
+"""Multi-host bring-up tests (SURVEY.md:446-451; parallel/multihost.py).
+
+``jax.distributed.initialize`` must precede backend init, so the
+end-to-end bring-up (env-driven initialize -> global device grid ->
+mesh-default derivation, i.e. the launcher ``--multihost`` path) runs
+in a SUBPROCESS with a fresh JAX on the num_processes=1 smoke
+configuration.  Host-side helpers are unit-tested in-process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import cpu_mesh_devices
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_global_device_grid_shape():
+    from modular_rag_system_tpu.parallel.multihost import global_device_grid
+
+    devices = cpu_mesh_devices(8)
+    grid = global_device_grid(devices)
+    # single process: one row, all devices in it
+    assert grid.shape == (1, 8)
+    assert list(grid[0]) == list(devices)
+
+
+def test_global_device_grid_rejects_uneven():
+    from modular_rag_system_tpu.parallel.multihost import global_device_grid
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    devs = [FakeDev(0), FakeDev(0), FakeDev(1)]
+    with pytest.raises(ValueError, match="uneven"):
+        global_device_grid(devs)
+
+
+def test_global_device_grid_orders_processes():
+    from modular_rag_system_tpu.parallel.multihost import global_device_grid
+
+    class FakeDev:
+        def __init__(self, pid, tag):
+            self.process_index = pid
+            self.tag = tag
+
+    devs = [FakeDev(1, "b0"), FakeDev(0, "a0"), FakeDev(1, "b1"),
+            FakeDev(0, "a1")]
+    grid = global_device_grid(devs)
+    assert grid.shape == (2, 2)
+    assert [d.tag for d in grid[0]] == ["a0", "a1"]
+    assert [d.tag for d in grid[1]] == ["b0", "b1"]
+
+
+def test_apply_multihost_defaults_fills_unset():
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.parallel.multihost import (
+        apply_multihost_defaults,
+    )
+
+    cpu_mesh_devices(8)  # skip when the virtual mesh is absent
+    cfg = RAGConfig()
+    assert cfg.mesh.index_shards == 1
+    apply_multihost_defaults(cfg)
+    # conftest steers jax_default_device onto the 8-device CPU mesh
+    assert cfg.mesh.index_shards == 8
+    # single process: dcn_slices untouched
+    assert cfg.mesh.dcn_slices == 1
+
+
+def test_apply_multihost_defaults_respects_explicit():
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.parallel.multihost import (
+        apply_multihost_defaults,
+    )
+
+    cpu_mesh_devices(8)
+    cfg = RAGConfig()
+    cfg.mesh.index_shards = 4  # explicit user choice survives
+    apply_multihost_defaults(cfg)
+    assert cfg.mesh.index_shards == 4
+
+
+def test_config_mesh_multihost_fields_roundtrip(tmp_path):
+    from modular_rag_system_tpu.config import RAGConfig
+
+    cfg = RAGConfig()
+    cfg2 = cfg.merged({"mesh": {"multihost": True,
+                                "coordinator": "h0:1234",
+                                "num_processes": 4,
+                                "process_id": 2}})
+    assert cfg2.mesh.multihost is True
+    assert cfg2.mesh.coordinator == "h0:1234"
+    assert cfg2.mesh.num_processes == 4
+    assert cfg2.mesh.process_id == 2
+    # untouched original
+    assert RAGConfig().mesh.multihost is False
+
+
+def test_launcher_multihost_flag_sets_config():
+    from modular_rag_system_tpu.launcher import build_arg_parser, load_config
+
+    args = build_arg_parser().parse_args(["--multihost", "--init-only"])
+    cfg = load_config(args)
+    assert cfg.mesh.multihost is True
+    args = build_arg_parser().parse_args(["--init-only"])
+    assert load_config(args).mesh.multihost is False
+
+
+@pytest.mark.slow
+def test_multihost_bringup_subprocess():
+    """Full bring-up with num_processes=1 in a fresh process: the exact
+    code path a production multi-host launch takes, minus the pod."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "RAG_COORDINATOR": f"127.0.0.1:{port}",
+        "RAG_NUM_PROCESSES": "1",
+        "RAG_PROCESS_ID": "0",
+    })
+    prog = (
+        "import jax\n"
+        "from modular_rag_system_tpu.config import RAGConfig\n"
+        "from modular_rag_system_tpu.parallel.multihost import (\n"
+        "    apply_multihost_defaults, initialize_multihost,\n"
+        "    is_initialized)\n"
+        "initialize_multihost()\n"
+        "assert is_initialized()\n"
+        "assert jax.process_count() == 1\n"
+        "jax.config.update('jax_default_device', jax.devices('cpu')[0])\n"
+        "cfg = RAGConfig(); cfg.mesh.multihost = True\n"
+        "apply_multihost_defaults(cfg)\n"
+        "assert cfg.mesh.index_shards == 4, cfg.mesh\n"
+        "print('MULTIHOST_OK')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", prog], env=env,
+                          capture_output=True, text=True, timeout=300,
+                          cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MULTIHOST_OK" in proc.stdout
