@@ -14,7 +14,7 @@ mid-compile and captured nothing):
 * **Persistent compilation cache** (``.jax_cache/``, verified working
   on this backend: 0.72 s -> 0.01 s re-compile), so reruns skip the
   ~10-30 s remote XLA compiles that killed the r3 run.
-* **Wall-clock budget** (``BENCH_BUDGET_S``, default 600 s): each
+* **Wall-clock budget** (``BENCH_BUDGET_S``, default 1200 s): each
   stage is gated on remaining budget and skipped gracefully.
 * The three in-bench contrastive fine-tunes moved OUT to
   ``benchmarks/semantic_eval.py``; the bench instead reports the
@@ -257,7 +257,10 @@ def main() -> int:
         "dim": d,
         "query_batch": Q,
         "cpu_baseline_qps": round(cpu_qps, 2),
-        "int8_effective_gbps": round(N * d / dt_head / 1e9, 1),
+        # bytes/element follows the branch actually timed: int8 head on
+        # TPU (1 B), bf16 twopass head on the CPU-smoke path (2 B)
+        ("int8_effective_gbps" if on_tpu else "head_effective_gbps_bf16"):
+            round(N * d * (1 if on_tpu else 2) / dt_head / 1e9, 1),
         "timing": "chained-scan slope (relay RTT cancels)",
         "budget_s": BUDGET_S,
         "backend": jax.default_backend(),

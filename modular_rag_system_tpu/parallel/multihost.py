@@ -43,12 +43,23 @@ def is_initialized() -> bool:
     """True once ``jax.distributed`` has a live client (ours or anyone's)."""
     if _initialized:
         return True
-    try:  # no public accessor; the attr is stable across jax versions
+    import jax
+
+    # public accessor (jax >= 0.4.35); keep the legacy private-attr probe
+    # only as a fallback for older installs (ADVICE r4: don't let a JAX
+    # upgrade silently turn this into a double-initialize)
+    probe = getattr(jax.distributed, "is_initialized", None)
+    if probe is not None:
+        try:
+            return bool(probe())
+        except Exception:
+            pass
+    try:
         from jax._src import distributed
 
         return distributed.global_state.client is not None
     except Exception:
-        return False
+        return _initialized
 
 
 def initialize_multihost(
@@ -90,7 +101,14 @@ def initialize_multihost(
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # someone else (test harness, embedding app) already brought the
+        # runtime up — that is success for an idempotent bring-up
+        if "already initialized" not in str(e).lower():
+            raise
+        logger.info("jax.distributed was already initialized elsewhere")
     _initialized = True
     logger.info(
         "jax.distributed initialized: process %d/%d, %d global device(s)",

@@ -20,7 +20,16 @@ setup(
         # ship the C++ source: the native text engine builds itself with
         # g++ on first use (no prebuilt binaries in the wheel)
         "modular_rag_system_tpu.native": ["*.cpp"],
+        # bundled assets must ship in the wheel too, or an installed
+        # package loses the default encoder and the external eval set
+        # (works-only-from-source-checkout bug, ADVICE r4)
+        "modular_rag_system_tpu": [
+            "assets/default_encoder/*",
+            "assets/eval/*.json",
+            "assets/train/*.json",
+        ],
     },
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "numpy",
