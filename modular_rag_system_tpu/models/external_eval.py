@@ -4,17 +4,25 @@ Every other semantic number in this repo is scored on corpora emitted
 by ``models/synth.py`` — the same generator the bundled encoder is
 trained on, so a generator bug or a train/eval pool leak would inflate
 all of them at once.  This module breaks that circularity: it scores
-retrieval on ``assets/eval/external_qa.json``, a HAND-WRITTEN set of 96
-query->passage pairs (12 topics x 8, same-topic passages as hard
-distractors) whose data path never touches ``synth.py`` or
-``models/corpus.py``.  The reference's de-facto quality bar was a real
-pretrained model on real text (``embedding_pipeline.py:424``,
-all-MiniLM-L6-v2); this is the in-repo equivalent measurement.
+retrieval on ``assets/eval/external_qa.json``, a HAND-WRITTEN set of
+304 query->passage pairs (38 topics x 8; grown from 96 in round 5,
+VERDICT r4 item 5, for statistical legibility) with same-topic
+passages as hard distractors, whose data path never touches
+``synth.py`` or ``models/corpus.py``.  The reference's de-facto
+quality bar was a real pretrained model on real text
+(``embedding_pipeline.py:424``, all-MiniLM-L6-v2); this is the
+in-repo equivalent measurement.
 
-Scoring: encode all 96 passages and all 96 queries with the SAME
-encoder (the framework's one-encoder contract), cosine top-k, report
-the fraction of queries whose gold passage appears in the top k.
-Chance at k=10 over 96 docs is ~0.104.
+Scoring: encode all passages and all queries with the SAME encoder
+(the framework's one-encoder contract), cosine top-k, report the
+fraction of queries whose gold passage appears in the top k, with a
+95% Wilson binomial interval.  Chance at k=10 over 304 docs is
+~0.033.
+
+Train/eval discipline: this file is eval-only by construction, and
+``tests/test_external_eval.py`` additionally asserts that no eval
+passage text leaks into the bundled training assets
+(``assets/train/``) or the encoder's training-pair generators.
 """
 
 from __future__ import annotations
@@ -36,6 +44,18 @@ def load_external_qa(path: str | None = None) -> Tuple[List[str], List[str]]:
     items = data["items"]
     return ([it["query"] for it in items],
             [it["passage"] for it in items])
+
+
+def wilson_interval(p: float, n: int, z: float = 1.96) -> Tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion — reported
+    next to the recall so round-over-round encoder progress is
+    statistically legible (VERDICT r4 item 5)."""
+    if n <= 0:
+        return (0.0, 1.0)
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z / denom) * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5)
+    return (max(0.0, center - half), min(1.0, center + half))
 
 
 def recall_at_k_external(encoder, k: int = 10,
