@@ -57,6 +57,15 @@ class EmbeddingConfig:
     # the packaged asset when no HF cache exists; "" = disable (random
     # init); a path = load that asset directory instead.
     bundled_checkpoint: str = "auto"
+    # Hybrid dense+lexical embedding (models/lexical.py).  When
+    # lexical_dim > 0, the semantic encoder ("minilm"/"auto" path) is
+    # wrapped in a HybridEncoder: the index dim becomes
+    # dim + lexical_dim and cosine similarity decomposes as
+    # (1-w)*cos(dense) + w*cos(lexical).  The lexical half is an
+    # IDF-weighted, lexicon-canonicalized signed-hash bag of words —
+    # the BM25-style precision term a from-scratch dense encoder lacks.
+    lexical_dim: int = 0
+    lexical_weight: float = 0.5
 
 
 @dataclass

@@ -81,6 +81,13 @@ class RAGEngine:
 
             ensure_multihost(self.config)
         self.encoder = build_encoder(self.config)
+        # one-encoder contract: the index is sized from the ENCODER's
+        # output dim (a hybrid dense+lexical encoder is wider than
+        # embedding.dim; see models/lexical.py).  Keep the config in
+        # sync so snapshots/stats report the real width.
+        enc_dim = int(getattr(self.encoder, "dim", 0) or self.config.embedding.dim)
+        if enc_dim != self.config.embedding.dim:
+            self.config.embedding.dim = enc_dim
         token_counter = getattr(self.encoder, "token_count", None)
         self.chunker = TextChunker(
             chunk_size_tokens=self.config.embedding.chunk_size_tokens,

@@ -37,6 +37,22 @@ def build_encoder(config):
             )
         return enc
     if model in ("minilm", "auto"):
+        def _maybe_hybrid(dense):
+            # hybrid dense+lexical wrap (models/lexical.py): applied to
+            # the semantic path only — "fake"/"ollama" stay raw so the
+            # hermetic-test and HTTP-parity backends are unchanged
+            if config.embedding.lexical_dim > 0:
+                from modular_rag_system_tpu.models.lexical import (
+                    HybridEncoder,
+                    LexicalHashEncoder,
+                )
+
+                lex = LexicalHashEncoder(dim=config.embedding.lexical_dim)
+                return HybridEncoder(
+                    dense, lex, weight=config.embedding.lexical_weight
+                )
+            return dense
+
         try:
             # resolution order: exact HF weights when a cache exists ->
             # the BUNDLED checkpoint trained by the framework's own
@@ -49,17 +65,17 @@ def build_encoder(config):
 
             pretrained = try_build_pretrained_encoder(config)
             if pretrained is not None:
-                return pretrained
+                return _maybe_hybrid(pretrained)
             from modular_rag_system_tpu.models.default_ckpt import (
                 try_build_default_encoder,
             )
 
             bundled = try_build_default_encoder(config)
             if bundled is not None:
-                return bundled
+                return _maybe_hybrid(bundled)
             from modular_rag_system_tpu.models.encoder import MiniLMEncoder
 
-            return MiniLMEncoder(
+            return _maybe_hybrid(MiniLMEncoder(
                 dim=config.embedding.dim,
                 max_seq_len=config.embedding.max_seq_len,
                 batch_size=config.embedding.batch_size,
@@ -69,7 +85,7 @@ def build_encoder(config):
                 mlp_dim=config.embedding.mlp_dim,
                 vocab_size=config.embedding.vocab_size,
                 attention_impl=config.embedding.attention_impl,
-            )
+            ))
         except Exception:
             if model == "minilm":
                 raise

@@ -1,0 +1,308 @@
+"""Lexical hash encoder + hybrid dense/lexical embedding.
+
+Production retrieval systems pair a dense semantic encoder with a
+sparse lexical scorer (BM25-style) because the two fail differently:
+dense matches paraphrases but hallucinates neighbors, lexical matching
+is precise on names/terms but blind to synonymy.  The reference had
+only its dense path (a downloaded MiniLM,
+``embedding_pipeline.py:393-438``); this module supplies the lexical
+half and the combination, in a form that fits the framework's
+one-vector-per-chunk index contract:
+
+* ``LexicalHashEncoder`` — IDF-weighted, stemmed, lexicon-canonicalized
+  bag of words, signed-hashed into a fixed-dim L2-normalized vector
+  (so cosine on the hashed vectors approximates the classic weighted
+  lexical overlap score).  Everything is deterministic: FNV-1a hashing
+  (not Python's salted ``hash``), a rule-based stemmer, and the
+  hand-authored ``models.lexicon`` for synonym/alias canonicalization.
+* ``HybridEncoder`` — concatenates a dense encoder's unit vector with
+  the lexical unit vector under a mix weight; cosine of the concat is
+  exactly the weighted sum of the two cosines, so ALL index tiers
+  (exact/fused/int8/ivf) work unchanged on hybrid embeddings.
+
+The canonicalization step is what lifts this above plain BM25: "rapid"
+and "quick" (synset) or "red planet" and "mars" (alias) land in the
+same hash bucket, giving the lexical side a slice of the world
+knowledge a pretrained encoder would carry in its weights.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+_WORD = re.compile(r"[a-z][a-z'-]*")
+
+# Function words excluded from lexical features (queries are mostly
+# scaffolding: "why does the ... always ...").  Kept separate from the
+# engine's snippet stopwords — this list is part of the embedding
+# definition and must stay stable across versions.
+STOPWORDS = frozenset("""
+a an the of to in on for and or nor but is are was were be been being am
+does do did done doing why how what which when who whom whose where whether
+with without from into onto over under between among through during while
+its it their they them your you my i we our us his her he she him this that
+these those there here then than as by at if so such very much many most
+more less few fewer some any all each every either neither one ones other
+another like unlike about above below across behind beyond near far out up
+down off not no yes can could should would will shall may might must ought
+have has had having get gets got getting make makes made making go goes
+went gone going come comes came coming take takes took taken taking
+also just only even still yet again once twice always never ever often
+sometimes usually now today currently something anything nothing everything
+someone anyone everyone somebody anybody nobody called named known certain
+actually really quite rather too enough both around along upon within
+""".split())
+
+
+def fnv1a(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's ``hash`` is salted per
+    process — useless for embeddings that must be stable on disk)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_SUFFIXES = (
+    # order matters: longest first, and -ization before -ation etc.
+    "izations", "ization", "ations", "ation", "ingly", "ising", "izing",
+    "ings", "ment", "ness", "ance", "ence", "ship", "hood", "less",
+    "ing", "ers", "ies", "ied", "ily", "ed", "es", "ly", "er", "est",
+    "s",
+)
+
+
+def light_stem(word: str) -> str:
+    """Rule-based suffix stripper (Porter-lite).
+
+    Deliberately conservative: a stem must keep >= 3 characters, and a
+    few high-frequency irregulars are mapped explicitly.  The goal is
+    collision of inflectional variants ("dims"/"dimming"/"dimmed" ->
+    "dimm"-ish), not linguistic perfection."""
+    w = word
+    if len(w) <= 3:
+        return w
+    for suf in _SUFFIXES:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if len(stem) >= 3:
+                # undouble final consonant: "dimm" -> "dim", "runn" -> "run"
+                if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in "aeiouls":
+                    stem = stem[:-1]
+                # restore silent e for -ation/-ing strips is skipped; the
+                # same strip applies to query and doc so stems still match
+                return stem
+    return w
+
+
+def _words(text: str) -> List[str]:
+    return _WORD.findall(text.lower())
+
+
+class _Canonicalizer:
+    """Shared token -> canonical-feature mapping built from
+    ``models.lexicon`` (synsets + multiword aliases)."""
+
+    _singleton: Optional["_Canonicalizer"] = None
+
+    def __init__(self) -> None:
+        from modular_rag_system_tpu.models.lexicon import (
+            alias_map,
+            canonical_word_map,
+        )
+
+        cmap = canonical_word_map()
+        # stem -> stemmed canonical head (both sides stemmed so that
+        # inflections of a synonym still canonicalize)
+        self.canon: Dict[str, str] = {}
+        for w, head in cmap.items():
+            self.canon.setdefault(light_stem(w), light_stem(head))
+        self.alias: Dict[tuple, str] = {}
+        self.max_alias_len = 1
+        for surface, target in alias_map().items():
+            key = tuple(surface.split())
+            self.alias[key] = light_stem(target)
+            self.max_alias_len = max(self.max_alias_len, len(key))
+
+    @classmethod
+    def get(cls) -> "_Canonicalizer":
+        if cls._singleton is None:
+            cls._singleton = cls()
+        return cls._singleton
+
+    def features(self, text: str) -> List[str]:
+        """Canonical feature stream: greedy longest-match alias
+        detection over the raw word stream (aliases may contain
+        stopwords), then stopword-filter + stem + synset-canonicalize
+        the remainder."""
+        words = _words(text)
+        out: List[str] = []
+        i, n = 0, len(words)
+        while i < n:
+            matched = False
+            for ln in range(min(self.max_alias_len, n - i), 1, -1):
+                tgt = self.alias.get(tuple(words[i : i + ln]))
+                if tgt is not None:
+                    out.append(self.canon.get(tgt, tgt))
+                    i += ln
+                    matched = True
+                    break
+            if matched:
+                continue
+            w = words[i]
+            i += 1
+            if w in STOPWORDS:
+                continue
+            s = light_stem(w)
+            # single-word aliases ride the same table
+            tgt = self.alias.get((w,))
+            if tgt is not None:
+                s = tgt
+            out.append(self.canon.get(s, s))
+        return out
+
+
+def lexical_features(text: str) -> List[str]:
+    """Public helper: the canonical lexical feature stream of a text."""
+    return _Canonicalizer.get().features(text)
+
+
+class IdfTable:
+    """stem -> inverse document frequency, built from a corpus once and
+    shipped as a JSON asset (language-level statistics, NOT per-index:
+    embeddings must not change when the corpus grows)."""
+
+    def __init__(self, idf: Dict[str, float], default: float) -> None:
+        self.idf = idf
+        self.default = default
+
+    @classmethod
+    def from_texts(cls, texts: Iterable[str], max_terms: int = 60_000) -> "IdfTable":
+        df: Counter = Counter()
+        n_docs = 0
+        feats = _Canonicalizer.get().features
+        for t in texts:
+            n_docs += 1
+            df.update(set(feats(t)))
+        idf = {
+            w: round(math.log((n_docs + 1) / (c + 0.5)), 3)
+            for w, c in df.most_common(max_terms)
+        }
+        default = round(math.log((n_docs + 1) / 0.5), 3)
+        return cls(idf, default)
+
+    def save(self, path: str) -> None:
+        Path(path).write_text(
+            json.dumps({"default": self.default, "idf": self.idf}))
+
+    @classmethod
+    def load(cls, path: str) -> "IdfTable":
+        data = json.loads(Path(path).read_text())
+        return cls({k: float(v) for k, v in data["idf"].items()},
+                   float(data["default"]))
+
+    def __call__(self, stem: str) -> float:
+        return self.idf.get(stem, self.default)
+
+
+_BUNDLED_IDF = (Path(__file__).resolve().parent.parent / "assets"
+                / "default_encoder" / "idf.json")
+
+
+def load_bundled_idf() -> Optional[IdfTable]:
+    try:
+        return IdfTable.load(str(_BUNDLED_IDF))
+    except Exception:
+        return None
+
+
+class LexicalHashEncoder:
+    """Deterministic sparse-to-dense lexical embedding.
+
+    encode(texts) -> (n, dim) float32, L2-normalized.  Feature weight =
+    (1 + log tf) * idf, signed-hashed into ``dim`` buckets (sign from a
+    second hash), so the cosine of two vectors approximates the
+    IDF-weighted overlap of their canonical stems — BM25's heart, in a
+    form every index tier already understands."""
+
+    def __init__(self, dim: int = 384, idf: Optional[IdfTable] = None,
+                 name: str = "lexical-hash") -> None:
+        self.dim = int(dim)
+        self.idf = idf or load_bundled_idf() or IdfTable({}, 1.0)
+        self.name = f"{name}-{dim}"
+        self._canon = _Canonicalizer.get()
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            c = Counter(self._canon.features(t))
+            for w, n in c.items():
+                h = fnv1a(w)
+                sign = 1.0 if (fnv1a(w + "\x01") & 1) else -1.0
+                out[i, h % self.dim] += sign * self.idf(w) * (1.0 + math.log(n))
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.maximum(norms, 1e-9, out=norms)
+        out /= norms
+        return out
+
+
+class HybridEncoder:
+    """[sqrt(1-w) * dense_unit | sqrt(w) * lexical_unit] concatenation.
+
+    cos(hybrid_a, hybrid_b) = (1-w)*cos(dense) + w*cos(lex) and the
+    hybrid vector is unit-norm by construction, so similarity
+    thresholds keep their meaning.  ``dim`` is the concatenated width —
+    the engine sizes its index from the ENCODER's dim (one-encoder
+    contract), so hybrid needs no special support anywhere downstream."""
+
+    def __init__(self, dense, lexical: LexicalHashEncoder,
+                 weight: float = 0.5) -> None:
+        if not 0.0 < weight < 1.0:
+            raise ValueError(f"hybrid weight must be in (0,1), got {weight}")
+        self.dense = dense
+        self.lexical = lexical
+        self.weight = float(weight)
+        self.dim = int(getattr(dense, "dim")) + lexical.dim
+        self.name = (f"hybrid({getattr(dense, 'name', 'dense')}"
+                     f"+{lexical.name}, w={weight})")
+        # chunker integration: token counting follows the dense side
+        tc = getattr(dense, "token_count", None)
+        if tc is not None:
+            self.token_count = tc
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        D = np.asarray(self.dense.encode(list(texts)), np.float32)
+        norms = np.linalg.norm(D, axis=1, keepdims=True)
+        np.maximum(norms, 1e-9, out=norms)
+        D = D / norms
+        L = self.lexical.encode(texts)
+        wd = math.sqrt(1.0 - self.weight)
+        wl = math.sqrt(self.weight)
+        return np.concatenate([wd * D, wl * L], axis=1)
+
+    def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+        return self.encode(texts)
+
+    def encode_device(self, texts: Sequence[str]):
+        """Bulk-ingest path: dense forward stays on device; only the
+        (already computed host-side) lexical half rides the link up.
+        Requires the dense side to expose ``encode_device`` (MiniLM
+        does); falls back to a host concat + upload otherwise."""
+        import jax.numpy as jnp
+
+        dev = getattr(self.dense, "encode_device", None)
+        if dev is None:
+            return jnp.asarray(self.encode(texts))
+        D = dev(texts)  # (n, dense_dim) f32, unit rows (encoder.py:112)
+        L = self.lexical.encode(texts)
+        wd = math.sqrt(1.0 - self.weight)
+        wl = math.sqrt(self.weight)
+        return jnp.concatenate(
+            [wd * D, wl * jnp.asarray(L)], axis=1)
