@@ -56,6 +56,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 T0 = time.time()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 WARM_PATH = os.path.join(REPO, ".bench_cache", "ivf10m_warm.npz")
+WARM14_PATH = os.path.join(REPO, ".bench_cache", "ivf14m_warm.npz")
 
 RESULT: dict = {}
 _stages: list = []
@@ -322,24 +323,48 @@ def main() -> int:
     # re-trained in-bench (r3's three fine-tunes are what blew the
     # budget) — benchmarks/semantic_eval.py measures it; last run cited.
     if left() > 60:
-        note("external semantic eval (hand-written 96-pair set)")
+        note("external semantic eval (hand-written 304-pair set)")
         try:
+            from modular_rag_system_tpu.config import RAGConfig
+            from modular_rag_system_tpu.models import build_encoder
+            from modular_rag_system_tpu.models.default_ckpt import (
+                try_build_default_encoder,
+            )
             from modular_rag_system_tpu.models.external_eval import (
-                bundled_encoder_external_recall,
+                load_external_qa,
                 recall_at_k_external,
+                wilson_interval,
             )
             from modular_rag_system_tpu.models.fake import FeatureHashEncoder
 
-            ext = bundled_encoder_external_recall(k)
-            ext_hash = recall_at_k_external(FeatureHashEncoder(dim=d), k=k)
+            n_eval = len(load_external_qa()[1])
+            # the SHIPPED default path (hybrid dense+lexical when the
+            # default config enables it — what a user's engine embeds
+            # with out of the box)
+            shipped = build_encoder(RAGConfig())
+            ext = recall_at_k_external(shipped, k=k)
+            lo, hi = wilson_interval(ext, n_eval)
             RESULT.update({
                 "semantic_recall_external": round(ext, 4),
+                "semantic_external_n": n_eval,
+                "semantic_external_ci95": [round(lo, 4), round(hi, 4)],
+                "semantic_external_encoder": getattr(
+                    shipped, "name", type(shipped).__name__),
                 "semantic_external_note":
-                    "hand-written 96-pair eval (assets/eval/"
-                    "external_qa.json), bundled encoder; never touches "
-                    "models/synth.py; chance@10 = 0.104",
-                "semantic_external_hash_baseline": round(ext_hash, 4),
+                    f"hand-written {n_eval}-pair eval (assets/eval/"
+                    "external_qa.json), shipped default encoder; never "
+                    f"touches models/synth.py; chance@10 = "
+                    f"{round(10 / n_eval, 4)}",
+                "semantic_external_hash_baseline": round(
+                    recall_at_k_external(FeatureHashEncoder(dim=d), k=k),
+                    4),
             })
+            # dense-only ablation (the bundled checkpoint without the
+            # lexical half) — names what each component contributes
+            dense = try_build_default_encoder(RAGConfig())
+            if dense is not None:
+                RESULT["semantic_external_dense_only"] = round(
+                    recall_at_k_external(dense, k=k), 4)
         except Exception as exc:  # pragma: no cover - keep bench robust
             note(f"external semantic eval failed: {exc}")
         RESULT["semantic_recall_curve_synthetic"] = {
@@ -366,6 +391,23 @@ def main() -> int:
     elif on_tpu:
         note(f"skipping 10M IVF stage (left={left():.0f}s, "
              f"warm={warm_ok})")
+
+    # ---------------- stage: 14.7M int4 capacity (VERDICT r4 item 4) --
+    # README's capacity headline, driver-verified: the int4 residual
+    # fine copy halves fine bytes vs int8, fitting 14x2^20 rows on one
+    # chip (11.27 GB bf16 master + ~3.1 GB fine).  Mirrors
+    # tools/exp_capacity_14m.py with warm-startable clustering.
+    warm14_ok = os.path.exists(WARM14_PATH)
+    if on_tpu and left() > (200 if warm14_ok else 330):
+        try:
+            int4_stage_14m(jax, jnp, interp, k, warm14_ok)
+        except Exception as exc:  # pragma: no cover - keep bench robust
+            note(f"int4 14M stage failed: {exc}")
+            RESULT["int4_error"] = str(exc)[:300]
+        emit("int4_14m")
+    elif on_tpu:
+        note(f"skipping 14.7M int4 stage (left={left():.0f}s, "
+             f"warm={warm14_ok})")
 
     RESULT["complete"] = True
     emit("final")
@@ -531,6 +573,165 @@ def ivf_stage_10m(jax, jnp, rng, interp, k, warm_ok):
         "ivf_10m_build_warm": warm is not None,
         "ivf_10m_recall_gt": "exact twopass over the stored bf16 "
                              "master at 10.49M rows",
+    })
+
+
+def int4_stage_14m(jax, jnp, interp, k, warm_ok):
+    """14,680,064-row int4-fine IVF2 on one chip: build (warm-started
+    when the cached clustering matches), nprobe=1 timing at the
+    adaptive refine_extra default and at extra=300, recall vs the exact
+    bf16-master two-pass GT."""
+    import functools
+
+    from modular_rag_system_tpu.ops.binmax_topk import twopass_topk_raw
+    from modular_rag_system_tpu.ops.ivf2 import IVF2, ivf2_search_core
+
+    N, d, Q, C = 14 * (1 << 20), 384, 256, 8192
+    n_centers = N // 1024
+    sigma = 0.35 / np.sqrt(d)
+    M_LO, M_HI = 4, 20
+    GEN = 1_048_576
+    CORPUS_VERSION = 1  # 14M generator below (device-generated, seed 7)
+
+    @jax.jit
+    def gen_centers(key):
+        c = jax.random.normal(key, (n_centers, d), jnp.float32)
+        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+    centers_dev = gen_centers(jax.random.PRNGKey(7))
+
+    @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+    def gen_chunk(key, n, buf, offset):
+        k1, k2 = jax.random.split(key)
+        assign = jax.random.randint(k1, (n,), 0, n_centers)
+        x = centers_dev[assign] + sigma * jax.random.normal(k2, (n, d))
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return jax.lax.dynamic_update_slice(
+            buf, x.astype(jnp.bfloat16), (offset, 0))
+
+    t0 = time.perf_counter()
+    E = jnp.zeros((N, d), jnp.bfloat16)
+    key = jax.random.PRNGKey(70)
+    for off in range(0, N, GEN):
+        key, sub = jax.random.split(key)
+        E = gen_chunk(sub, min(GEN, N - off), E, off)
+    jax.block_until_ready(E)
+    note(f"14.7M corpus generated in {time.perf_counter() - t0:.0f}s")
+
+    warm = None
+    if warm_ok:
+        try:
+            with np.load(WARM14_PATH) as z:
+                cv = (int(z["corpus_version"])
+                      if "corpus_version" in z.files else 0)
+                if (int(z["n"]) == N and int(z["d"]) == d
+                        and int(z["c"]) == C and cv == CORPUS_VERSION):
+                    warm = (z["centroids"], z["labels"])
+                else:
+                    note("14M warm file is for a different corpus; cold")
+        except Exception as exc:
+            note(f"14M warm file unreadable ({exc}); cold build")
+    t0 = time.perf_counter()
+    ivf = IVF2.build(E, N, n_clusters=C, iters=6, fine_dtype="int4",
+                     seed_batch=16384, balance=1.5, warm_start=warm)
+    jax.block_until_ready(ivf.E_c3)
+    build_s = time.perf_counter() - t0
+    fine_gb = ivf.E_c3.size * ivf.E_c3.dtype.itemsize / 1e9
+    note(f"int4 build {build_s:.0f}s (warm={warm is not None}); "
+         f"fine {fine_gb:.2f} GB")
+    if warm is None:
+        try:
+            os.makedirs(os.path.dirname(WARM14_PATH), exist_ok=True)
+            np.savez(WARM14_PATH, n=N, d=d, c=C,
+                     corpus_version=CORPUS_VERSION,
+                     centroids=np.asarray(ivf.centroids, np.float32),
+                     labels=ivf.labels_host())
+            note("saved 14M warm-start clustering for future runs")
+        except Exception as exc:
+            note(f"14M warm save failed: {exc}")
+
+    @jax.jit
+    def gen_queries(key):
+        k1, k2 = jax.random.split(key)
+        assign = jax.random.randint(k1, (M_HI, Q), 0, n_centers)
+        x = (centers_dev[assign]
+             + sigma * jax.random.normal(k2, (M_HI, Q, d), jnp.float32))
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    QS = gen_queries(jax.random.PRNGKey(71))
+    q = QS[0]
+    jax.block_until_ready(QS)
+    cnt = jnp.int32(N)
+
+    gt = jax.jit(functools.partial(twopass_topk_raw, k=k, block_rows=4096,
+                                   bin_width=64, interpret=interp))
+    _, eids = gt(E, cnt, q)
+    eids = np.asarray(eids)
+    note("14.7M exact ground truth done")
+
+    def slope(chain_fn, label):
+        f = lambda m: float(np.asarray(chain_fn(m)))
+        note(f"compiling {label}")
+        f(M_LO)
+        f(M_HI)
+        ts = {M_LO: [], M_HI: []}
+        for _ in range(3):
+            for m in (M_LO, M_HI):
+                t0 = time.perf_counter()
+                f(m)
+                ts[m].append(time.perf_counter() - t0)
+        return (min(ts[M_HI]) - min(ts[M_LO])) / (M_HI - M_LO)
+
+    U = 4
+    curve = []
+    for nprobe, extra in ((1, None), (1, 300)):
+        L = ivf.slots_for_nprobe(nprobe)
+        L = ((L + U - 1) // U) * U
+        core = functools.partial(ivf2_search_core, k=k, nprobe=nprobe,
+                                 L=L, tail_max=0, U=U, interpret=interp,
+                                 refine_extra=extra)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def chain(E, Ec, sc, perm, cents, bs, nb, cn, qs, m, core=core):
+            def step(carry, qq):
+                v, _ = core(E, Ec, sc, perm, cents, bs, nb, cn, cnt, cnt,
+                            qq + carry * 1e-9)
+                return jnp.mean(v), None
+
+            carry, _ = jax.lax.scan(step, 0.0, qs[:m])
+            return carry
+
+        dt = slope(
+            lambda m: chain(E, ivf.E_c3, ivf.scales3, ivf.perm,
+                            ivf.centroids, ivf.blk_start, ivf.nblk,
+                            ivf.counts, QS, m),
+            f"int4 nprobe={nprobe} extra={extra} (L={L})")
+        _, ids = jax.jit(core)(E, ivf.E_c3, ivf.scales3, ivf.perm,
+                               ivf.centroids, ivf.blk_start, ivf.nblk,
+                               ivf.counts, cnt, cnt, q)
+        ids = np.asarray(ids)
+        rec = float(np.mean(
+            [len(set(eids[i]) & set(ids[i])) / k for i in range(Q)]))
+        curve.append({"nprobe": nprobe, "refine_extra": extra,
+                      "qps": round(Q / dt, 1),
+                      "recall_at_10": round(rec, 4)})
+        note(f"int4 nprobe={nprobe} extra={extra}: {Q / dt:.0f} QPS "
+             f"@ recall {rec:.4f}")
+        if left() < 60:
+            note("budget low; stopping int4 sweep")
+            break
+
+    RESULT.update({
+        "int4_rows": N,
+        "int4_master_gb": round(N * d * 2 / 1e9, 2),
+        "int4_fine_gb": round(fine_gb, 2),
+        "int4_build_s": round(build_s, 1),
+        "int4_build_warm": warm is not None,
+        "int4_qps": curve[0]["qps"],
+        "int4_recall": curve[0]["recall_at_10"],
+        "int4_curve": curve,
+        "int4_recall_gt": "exact twopass over the stored bf16 master "
+                          "at 14,680,064 rows",
     })
 
 

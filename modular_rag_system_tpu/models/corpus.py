@@ -133,12 +133,130 @@ SYNONYMS: List[Tuple[str, str]] = [
 
 
 def synonym_table() -> Dict[str, List[str]]:
-    """word -> synonyms mapping (both directions)."""
+    """word -> synonyms mapping (both directions).
+
+    Round 5: merged with the much larger hand-authored lexicon
+    (``models.lexicon.SYNSETS``) so the trained encoder and the lexical
+    hash encoder learn/share the SAME synonymy."""
     table: Dict[str, List[str]] = {}
     for a, b in SYNONYMS:
         table.setdefault(a, []).append(b)
         table.setdefault(b, []).append(a)
+    try:
+        from modular_rag_system_tpu.models.lexicon import SYNSETS
+
+        for group in SYNSETS:
+            for w in group:
+                entry = table.setdefault(w, [])
+                entry.extend(x for x in group if x != w and x not in entry)
+    except Exception:
+        pass
     return table
+
+
+def load_train_qa():
+    """Hand-written TRAINING QA pairs (assets/train/qa_pairs.json).
+
+    Returns (queries, passages) — fact-disjoint from the external eval
+    by authorship discipline (enforced by tests/test_external_eval.py).
+    Used as direct QA-style contrastive supervision and as the held-out
+    tuning set for the hybrid mix weight."""
+    import json
+    from pathlib import Path
+
+    path = (Path(__file__).resolve().parent.parent / "assets" / "train"
+            / "qa_pairs.json")
+    data = json.loads(path.read_text())
+    items = data["items"]
+    return ([it["query"] for it in items],
+            [it["passage"] for it in items])
+
+
+def alias_substitute(text: str, rng: random.Random, p: float = 0.7) -> str:
+    """Swap lexicon aliases in BOTH directions ("mars" <-> "red
+    planet") so the dense encoder learns the same world-knowledge
+    bridges the lexical encoder gets from canonicalization."""
+    try:
+        from modular_rag_system_tpu.models.lexicon import ALIASES
+    except Exception:
+        return text
+    # build the bidirectional table once per process
+    global _ALIAS_BIDIR
+    try:
+        table = _ALIAS_BIDIR
+    except NameError:
+        fwd: Dict[str, List[str]] = {}
+        for surface, target in ALIASES.items():
+            fwd.setdefault(surface, []).append(target)
+            fwd.setdefault(target, []).append(surface)
+        table = _ALIAS_BIDIR = fwd
+    low = text.lower()
+    words = low.split()
+    out: List[str] = []
+    i = 0
+    while i < len(words):
+        matched = False
+        for ln in (4, 3, 2, 1):
+            phrase = " ".join(words[i : i + ln]).strip(".,;:!?")
+            repl = table.get(phrase)
+            if repl and rng.random() < p:
+                out.append(repl[rng.randrange(len(repl))])
+                i += ln
+                matched = True
+                break
+        if not matched:
+            out.append(words[i])
+            i += 1
+    return " ".join(out)
+
+
+_WH_PREFIXES = (
+    "why does", "why do", "why is", "why are", "how does", "how do",
+    "how is", "how can", "what makes", "what does", "what is",
+    "which", "when does", "when do", "where does", "where do",
+)
+
+
+def make_question_pairs(
+    sentences: Sequence[str],
+    n_pairs: int,
+    seed: int = 0,
+    synonym_p: float = 0.5,
+) -> Tuple[List[str], List[str]]:
+    """(pseudo-question, sentence) pairs from declarative text.
+
+    The external QA style the encoder must serve prefixes content with
+    interrogative scaffolding and paraphrases the wording
+    (SURVEY-level contract: one encoder for queries AND documents).
+    Each pair takes a content-word crop of a sentence, substitutes
+    synonyms on the query side, and prepends a wh-prefix — teaching the
+    encoder that question form is noise and synonym-bridged content is
+    signal."""
+    rng = random.Random(seed)
+    table = synonym_table()
+    qs: List[str] = []
+    ps: List[str] = []
+    if not sentences:
+        return qs, ps
+    guard = 0
+    while len(qs) < n_pairs and guard < n_pairs * 20:
+        guard += 1
+        sent = sentences[rng.randrange(len(sentences))]
+        words = _WORDISH.findall(sent.lower())
+        if len(words) < 6:
+            continue
+        # crop the middle content, drop leading stopword-ish tokens
+        crop_words = _WORDISH.findall(_crop(words, rng, drop=0.15))
+        if len(crop_words) < 3:
+            continue
+        if rng.random() < synonym_p:
+            body = _substitute(crop_words, table, rng, p=0.6)
+        else:
+            body = " ".join(crop_words)
+        q = f"{_WH_PREFIXES[rng.randrange(len(_WH_PREFIXES))]} {body}"
+        qs.append(q)
+        ps.append(sent.lower())
+    return qs, ps
 
 
 # ---------------------------------------------------------------------------

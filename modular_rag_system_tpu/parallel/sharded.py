@@ -139,6 +139,21 @@ class ShardedIndex:
         self._build_gate = threading.RLock()
         self._row_sharding = NamedSharding(self.mesh, P(axis, None, None))
         self._scale_sharding = NamedSharding(self.mesh, P(axis, None))
+        # Multi-process meshes (jax.distributed): writes device_put full
+        # host arrays onto a GLOBAL sharding, which is only correct
+        # under the SPMD ingest contract — every process calls add()/
+        # delete() with IDENTICAL data in the same order (docs/
+        # scaling.md; validated end-to-end by parallel/mh_check.py on a
+        # 2-process CPU cluster).  Surface the contract once at build.
+        try:
+            if any(getattr(d, "process_index", 0) != jax.process_index()
+                   for d in self.mesh.devices.flat):
+                logger.info(
+                    "ShardedIndex spans %d processes: SPMD ingest contract "
+                    "applies — every process must issue identical writes "
+                    "(docs/scaling.md#multi-host)", jax.process_count())
+        except Exception:
+            pass
         self.E = jax.device_put(
             jnp.zeros((self.S, self.cap_s, dim), self._jdtype), self._row_sharding
         )

@@ -109,6 +109,7 @@ def test_gui_gated_headless(fake_config):
         gui.launch_gui(object())
 
 
+@pytest.mark.slow
 def test_hf_loader_gated_offline(fake_config):
     from modular_rag_system_tpu.models.hf_loader import try_build_pretrained_encoder
 

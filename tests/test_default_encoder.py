@@ -15,6 +15,7 @@ def test_default_build_loads_bundled_checkpoint():
     assert enc.dim == 384
 
 
+@pytest.mark.slow
 def test_bundled_encoder_knows_english_synonyms():
     """Zero word overlap, synonym-level match: the thing the hash
     fallback can never do and random init does not do."""
@@ -28,6 +29,7 @@ def test_bundled_encoder_knows_english_synonyms():
     assert sims[0, 1] > sims[0, 2] + 0.15, sims
 
 
+@pytest.mark.slow
 def test_bundled_encoder_with_shorter_max_seq_len():
     """config.max_seq_len < the checkpoint's max_len must crop the
     pos_embed table, not raise ScopeParamShapeError at encode time
@@ -43,6 +45,7 @@ def test_bundled_encoder_with_shorter_max_seq_len():
     assert sims[0, 1] > sims[0, 2] + 0.15, sims
 
 
+@pytest.mark.slow
 def test_bundled_checkpoint_disable_and_dim_mismatch():
     cfg = RAGConfig().merged({"embedding": {"bundled_checkpoint": ""}})
     enc = build_encoder(cfg)
@@ -54,6 +57,7 @@ def test_bundled_checkpoint_disable_and_dim_mismatch():
     assert "bundled" not in enc64.name  # 384-hidden asset can't serve 64
 
 
+@pytest.mark.slow
 def test_default_engine_retrieves_by_synonym(tmp_path):
     from modular_rag_system_tpu.engine import RAGEngine
 

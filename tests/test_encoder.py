@@ -145,6 +145,7 @@ def test_token_count_used_by_chunker():
     assert tok.token_count("one two three") == 5  # 3 words + CLS + SEP
 
 
+@pytest.mark.slow
 def test_encode_device_multibatch_matches_per_batch():
     """Bulk encode_device groups batches by sequence bucket and
     dispatches them G=16 at a time through the lax.map multi-batch

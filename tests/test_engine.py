@@ -1,5 +1,7 @@
 """End-to-end engine tests with the deterministic fake encoder."""
 
+import pytest
+
 import time
 
 import numpy as np
@@ -177,6 +179,7 @@ def test_compact_noop_when_nothing_deleted(fake_config):
     assert eng.index.count == len(CORPUS)
 
 
+@pytest.mark.slow
 def test_fused_query_path_matches_two_step(tmp_storage):
     """MiniLM encoder + DeviceIndex -> single fused program; results must
     equal the two-step encode-then-search path."""
@@ -354,6 +357,7 @@ def test_filtered_query_refills_deep_matches(fake_config):
     assert [d.id for d in batch[0].documents] == [d.id for d in res.documents]
 
 
+@pytest.mark.slow
 def test_fused_path_concurrent_writer_stress(tmp_storage):
     """VERDICT r1 item 6: the fused device-query path snapshots (E, count)
     under the index lock — a concurrent add must never surface a row id
@@ -412,6 +416,7 @@ def test_fused_path_concurrent_writer_stress(tmp_storage):
     eng.shutdown()
 
 
+@pytest.mark.slow
 def test_filtered_refill_reaches_deep_rows_without_huge_kernel_k(fake_config):
     """A selective source filter whose matches sit DEEP in the ranking
     must be found via the bounded escalation (kernel-k capped at 1024,
@@ -457,6 +462,7 @@ def test_filtered_refill_reaches_deep_rows_without_huge_kernel_k(fake_config):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_filtered_refill_reaches_deep_rows_sharded(fake_config):
     """ADVICE r2 (medium): on a ShardedIndex the refill escalation must
     not stop at the kernel cap — a deep exact pass (per-shard XLA top-k
@@ -530,6 +536,7 @@ def test_tier_config_survives_compact_and_reembed(fake_config):
             eng.shutdown()
 
 
+@pytest.mark.slow
 def test_ivf_tier_rides_fused_program(tmp_storage):
     """VERDICT r2 item 8: the ivf tier joins the one-dispatch fused
     encode+search program instead of paying two device round-trips."""
@@ -564,6 +571,7 @@ def test_ivf_tier_rides_fused_program(tmp_storage):
         eng.shutdown()
 
 
+@pytest.mark.slow
 def test_fused_query_cache_is_bounded(fake_config):
     """Continuous ingest on an ivf-tier engine mints a new search token
     (build version / tail window) every rebuild; superseded compiled

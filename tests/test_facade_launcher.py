@@ -177,6 +177,7 @@ def test_http_query_api(fake_config):
         s.shutdown()
 
 
+@pytest.mark.slow
 def test_fine_tune_from_feedback_loop(tmp_storage):
     """Close the loop: feedback pairs -> fine-tune -> re-embed -> query."""
     from modular_rag_system_tpu.config import RAGConfig

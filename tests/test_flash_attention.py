@@ -68,6 +68,7 @@ def test_flash_encoder_matches_dense_encoder(rng):
     np.testing.assert_allclose(e_f, e_d, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flash_config_plumbing(tmp_path):
     from modular_rag_system_tpu.config import RAGConfig
     from modular_rag_system_tpu.models import build_encoder

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from modular_rag_system_tpu.index import DeviceIndex
 from modular_rag_system_tpu.ops.kmeans import init_centroids_from_rows, kmeans_fit
@@ -288,6 +289,7 @@ def test_ivf2_build_padding_is_bounded(rng):
     assert iv.E_c3.shape[1] == SLAB
 
 
+@pytest.mark.slow
 def test_fine_dump_matches_selecting_kernel(rng):
     """r3.5 score-dump fine stage (raw scores streamed to HBM + one
     positional ``lax.top_k``) must return identical candidate ids to

@@ -25,6 +25,7 @@ def test_corpus_is_word_disjoint():
     assert not set(c.eval_doc_idx) & set(c.train_doc_idx)
 
 
+@pytest.mark.slow
 def test_contrastive_training_lifts_semantic_recall():
     corpus = make_paraphrase_corpus(n_entities=10, n_relations=6, seed=0)
 

@@ -157,6 +157,7 @@ def test_sharded_bf16_tier(rng, mesh8):
     assert recall >= 0.95, recall
 
 
+@pytest.mark.slow
 def test_sharded_fused_query_program(rng, mesh8, tmp_path):
     """Engine composes encode + sharded search + merge into one jit."""
     from modular_rag_system_tpu.config import RAGConfig
@@ -342,6 +343,7 @@ def test_sharded_ivf_recall_parity(rng, mesh8):
     assert gids == list(range(4096))
 
 
+@pytest.mark.slow
 def test_sharded_ivf_incremental_write_serves_tail(rng, mesh8):
     """VERDICT r2 item 2 (sharded): writes do not invalidate the build;
     fresh rows are served from each shard's exact tail until a
@@ -446,6 +448,7 @@ def test_sharded_update_only_drift_triggers_rebuild(rng, mesh8):
     np.testing.assert_array_equal(got[:, 0], np.arange(8))
 
 
+@pytest.mark.slow
 def test_sharded_auto_tier_promotion(rng, mesh8, monkeypatch):
     """tier="auto" on a mesh: int8 below the crossover, write-path
     promotion to sharded ivf at/above — results stay correct."""
@@ -567,6 +570,7 @@ def test_build_programs_cached_across_rebuilds(rng, mesh8):
     np.testing.assert_array_equal(got[:, 0], np.arange(4))
 
 
+@pytest.mark.slow
 def test_sharded_queries_serve_during_rebuild(rng, monkeypatch):
     """Sharded twin of test_queries_serve_during_rebuild: the heavy
     SPMD k-means+fill runs under the write gate but outside the state

@@ -54,6 +54,7 @@ def test_param_spec_rules(tiny_encoder):
     assert all(s == P("model", None) for s in d1)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss_dp_tp(tiny_encoder):
     mesh = make_train_mesh(4, 2, devices=cpu_mesh_devices(8))
     trainer = ContrastiveTrainer(tiny_encoder, mesh, learning_rate=1e-3)
@@ -69,6 +70,7 @@ def test_training_reduces_loss_dp_tp(tiny_encoder):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_training_improves_retrieval_alignment(tiny_encoder):
     mesh = make_train_mesh(2, 1, devices=cpu_mesh_devices(2))
     trainer = ContrastiveTrainer(tiny_encoder, mesh, learning_rate=3e-3)
@@ -90,6 +92,7 @@ def test_training_improves_retrieval_alignment(tiny_encoder):
     assert diag_rank.mean() <= 4.5  # positives pulled toward the top
 
 
+@pytest.mark.slow
 def test_batch_padding_to_data_axis(tiny_encoder):
     mesh = make_train_mesh(4, 1, devices=cpu_mesh_devices(4))
     trainer = ContrastiveTrainer(tiny_encoder, mesh)
@@ -97,6 +100,7 @@ def test_batch_padding_to_data_axis(tiny_encoder):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_padded_clone_rows_masked_from_loss(tiny_encoder):
     """A batch padded by cycling must produce the SAME loss as the unpadded
     batch: clone rows/columns are masked out of InfoNCE (ADVICE r1)."""
@@ -118,6 +122,7 @@ def test_padded_clone_rows_masked_from_loss(tiny_encoder):
     assert abs(acc_padded - acc_unpadded) < 1e-6
 
 
+@pytest.mark.slow
 def test_sync_encoder_survives_further_training(tiny_encoder):
     """sync_encoder publishes a copy — the next donated step must not
     delete the serving encoder's buffers (ADVICE r1: facade fine-tune)."""
@@ -145,6 +150,7 @@ def test_mismatched_pairs_raise(tiny_encoder):
         trainer.step(["a"], ["b", "c"])
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_encoder, tmp_path):
     from modular_rag_system_tpu.models.encoder import MiniLMEncoder
 

@@ -1,17 +1,25 @@
 #!/usr/bin/env python3
-"""Build the bundled default encoder assets (VERDICT r2 item 3).
+"""Build the bundled default encoder assets (VERDICT r2 item 3; round-5
+retraining per VERDICT r4 item 1 — close the real-English semantic gap).
 
 Pipeline (everything in-framework, zero egress):
   1. harvest English sentences from the container (models/corpus.py),
-  2. train a WordPiece vocab on them (models/wordpiece_train.py),
-  3. train a from-scratch MiniLM-class encoder with ContrastiveTrainer
-     on crop + synonym-substitution pairs mixed with compositional
-     synthetic paraphrase facts (models/synth.py),
-  4. evaluate out-of-the-box retrieval vs the hash and random-init
-     baselines on held-out English and zero-overlap synthetic evals,
-  5. write modular_rag_system_tpu/assets/default_encoder/
-     (vocab.txt + params.npz f16 + arch.json) for
-     models/default_ckpt.try_build_default_encoder.
+  2. load the hand-written TRAINING QA pairs (assets/train/qa_pairs.json,
+     fact-disjoint from the external eval) and split off a HELD-OUT
+     tuning set,
+  3. train a WordPiece vocab on the harvested + training text plus the
+     knowledge lexicon's vocabulary (models/lexicon.py),
+  4. train a from-scratch MiniLM-class encoder with ContrastiveTrainer on
+     a mixture of: crop/synonym pairs, wh-question-template pairs,
+     QA-pair amplifications (alias-substituted variants), synthetic
+     paraphrase facts, and raw synonym/alias pairs,
+  5. evaluate dense + hybrid (dense|lexical concat, models/lexical.py)
+     on the HELD-OUT QA split — the tuning signal for the default
+     lexical mix weight (the external eval is NEVER consulted here),
+  6. build the bundled IDF table for the lexical encoder from the
+     harvested corpus,
+  7. write modular_rag_system_tpu/assets/default_encoder/
+     (vocab.txt + params.npz f16 + arch.json + idf.json).
 
 Run on the TPU (takes a few minutes); CPU works for smoke runs with
 --smoke.
@@ -35,7 +43,7 @@ def log(msg):
     print(f"[default-encoder] {msg}", file=sys.stderr, flush=True)
 
 
-def english_eval(encoder, docs, queries, k=10):
+def recall10(encoder, docs, queries, k=10):
     D = np.asarray(encoder.encode(list(docs)), dtype=np.float32)
     Q = np.asarray(encoder.encode(list(queries)), dtype=np.float32)
     D /= np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-9)
@@ -49,10 +57,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny corpus/model for CPU smoke runs")
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--vocab-size", type=int, default=8192)
+    ap.add_argument("--vocab-size", type=int, default=16384)
     ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heldout-qa", type=int, default=64,
+                    help="QA pairs reserved for tuning eval (never trained)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -60,14 +70,26 @@ def main() -> int:
         _WORDISH,
         _crop,
         _substitute,
+        alias_substitute,
         harvest_container_text,
+        load_train_qa,
         make_pairs,
+        make_question_pairs,
         synonym_table,
         SYNONYMS,
     )
     from modular_rag_system_tpu.models.default_ckpt import save_default_encoder
     from modular_rag_system_tpu.models.encoder import MiniLMEncoder
     from modular_rag_system_tpu.models.fake import FeatureHashEncoder
+    from modular_rag_system_tpu.models.lexical import (
+        HybridEncoder,
+        IdfTable,
+        LexicalHashEncoder,
+    )
+    from modular_rag_system_tpu.models.lexicon import (
+        ALIASES,
+        vocabulary as lexicon_vocabulary,
+    )
     from modular_rag_system_tpu.models.synth import make_paraphrase_corpus
     from modular_rag_system_tpu.models.tokenizer import WordPieceTokenizer
     from modular_rag_system_tpu.models.train import ContrastiveTrainer
@@ -93,31 +115,75 @@ def main() -> int:
     n_eval = min(5000, len(sents) // 10)
     eval_sents, train_sents = sents[:n_eval], sents[n_eval:]
 
+    # hand-written QA pairs: last --heldout-qa are the TUNING set
+    qa_q, qa_p = load_train_qa()
+    hold = args.heldout_qa if not args.smoke else 32
+    # interleave the topic blocks before splitting so the held-out set
+    # spans topics (the file is topic-contiguous)
+    order = list(range(len(qa_q)))
+    random.Random(13).shuffle(order)
+    qa_q = [qa_q[i] for i in order]
+    qa_p = [qa_p[i] for i in order]
+    ho_q, ho_p = qa_q[-hold:], qa_p[-hold:]
+    tr_q, tr_p = qa_q[:-hold], qa_p[:-hold]
+    log(f"QA pairs: {len(tr_q)} train / {len(ho_q)} held-out")
+
     synth = make_paraphrase_corpus(n_entities=n_ent, n_relations=n_rel,
                                    seed=0)
-    vocab_text = train_sents + synth.docs + synth.train_queries + [
-        a + " " + b for a, b in SYNONYMS
-    ]
+    vocab_text = (train_sents + synth.docs + synth.train_queries
+                  + tr_q + tr_p + lexicon_vocabulary()
+                  + [a + " " + b for a, b in SYNONYMS]
+                  + [f"{k} {v}" for k, v in ALIASES.items()])
     t0 = time.time()
     vocab = train_wordpiece(vocab_text, vocab_size=args.vocab_size)
     log(f"vocab {len(vocab)} pieces in {time.time()-t0:.0f}s")
 
-    # training pairs: english crops/synonyms + synthetic facts + raw
-    # synonym word pairs
+    # ---------------- training-pair mixture ---------------------------
     n_pairs = args.steps * args.batch
-    qs, ps = make_pairs(train_sents, int(n_pairs * 0.75), seed=1)
+    qs, ps = [], []
+
+    # 40% harvested crop/synonym pairs (now lexicon-wide synonyms)
+    a, b = make_pairs(train_sents, int(n_pairs * 0.40), seed=1)
+    qs += a; ps += b
+    # 20% wh-question-template pairs over harvested sentences
+    a, b = make_question_pairs(train_sents, int(n_pairs * 0.20), seed=2)
+    qs += a; ps += b
+    # 20% QA amplification: original pair + alias/synonym variants +
+    # question templates over the QA passages
+    table = synonym_table()
+    arng = random.Random(3)
+    qa_pool = []
+    for q, p in zip(tr_q, tr_p):
+        qa_pool.append((q.lower(), p.lower()))
+        qa_pool.append((alias_substitute(q, arng), p.lower()))
+        qw = _WORDISH.findall(q.lower())
+        if len(qw) >= 4:
+            qa_pool.append((_substitute(qw, table, arng, p=0.5), p.lower()))
+    tq, tp = make_question_pairs(tr_p, max(len(qa_pool), 1), seed=4)
+    qa_pool += list(zip(tq, tp))
+    target = int(n_pairs * 0.20)
+    while len(qs) < int(n_pairs * 0.80) and qa_pool:
+        q, p = qa_pool[arng.randrange(len(qa_pool))]
+        qs.append(q); ps.append(p)
+        target -= 1
+        if target <= 0:
+            break
+    # 10% synthetic compositional facts
     synth_q = synth.train_queries
     synth_p = [synth.docs[i] for i in synth.train_doc_idx]
-    while len(qs) < n_pairs * 0.95:
+    while len(qs) < n_pairs * 0.90:
         i = rng.randrange(len(synth_q))
-        qs.append(synth_q[i])
-        ps.append(synth_p[i])
+        qs.append(synth_q[i]); ps.append(synth_p[i])
+    # 10% raw synonym word pairs + alias phrase pairs
+    alias_items = list(ALIASES.items())
     while len(qs) < n_pairs:
-        a, b = SYNONYMS[rng.randrange(len(SYNONYMS))]
         if rng.random() < 0.5:
-            a, b = b, a
-        qs.append(a)
-        ps.append(b)
+            x, y = SYNONYMS[rng.randrange(len(SYNONYMS))]
+        else:
+            x, y = alias_items[rng.randrange(len(alias_items))]
+        if rng.random() < 0.5:
+            x, y = y, x
+        qs.append(x); ps.append(y)
     order = list(range(len(qs)))
     rng.shuffle(order)
     qs = [qs[i] for i in order]
@@ -137,7 +203,6 @@ def main() -> int:
                                  warmup_steps=max(args.steps // 20, 10))
 
     # held-out English eval: synonym-substituted crops as queries
-    table = synonym_table()
     erng = random.Random(7)
     e_docs, e_queries = [], []
     for s in eval_sents[:2000]:
@@ -159,6 +224,11 @@ def main() -> int:
     log(f"trained in {time.time()-t0:.0f}s")
     trainer.sync_encoder()
 
+    # ---------------- bundled IDF for the lexical encoder -------------
+    idf = IdfTable.from_texts(train_sents[:50_000] + tr_p)
+    log(f"idf table: {len(idf.idf)} stems")
+
+    # ---------------- evaluation (held-out QA tunes the hybrid) -------
     from modular_rag_system_tpu.models.synth import recall_at_k
 
     results = {}
@@ -170,14 +240,32 @@ def main() -> int:
     for name, e in (("hash", hash_enc), ("random-init", rand_enc),
                     ("trained", enc)):
         results[f"english_recall@10/{name}"] = round(
-            english_eval(e, e_docs, e_queries), 4)
+            recall10(e, e_docs, e_queries), 4)
         results[f"synth_recall@10/{name}"] = round(
             recall_at_k(e, synth, 10), 4)
+        results[f"heldout_qa_recall@10/{name}"] = round(
+            recall10(e, ho_p, ho_q), 4)
         log(f"{name}: english {results[f'english_recall@10/{name}']} "
-            f"synth {results[f'synth_recall@10/{name}']}")
+            f"synth {results[f'synth_recall@10/{name}']} "
+            f"heldoutQA {results[f'heldout_qa_recall@10/{name}']}")
+
+    lex = LexicalHashEncoder(dim=384, idf=idf)
+    results["heldout_qa_recall@10/lexical"] = round(
+        recall10(lex, ho_p, ho_q), 4)
+    best_w, best_r = None, -1.0
+    for w in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8):
+        hyb = HybridEncoder(enc, lex, weight=w)
+        r = recall10(hyb, ho_p, ho_q)
+        results[f"heldout_qa_recall@10/hybrid_w{w}"] = round(r, 4)
+        log(f"hybrid w={w}: heldoutQA {r:.4f}")
+        if r > best_r:
+            best_w, best_r = w, r
+    results["tuned_lexical_weight"] = best_w
+    log(f"tuned hybrid weight (held-out QA): {best_w} -> {best_r:.4f}")
 
     params_host = __import__("jax").tree.map(np.asarray, enc.params)
     out = save_default_encoder(params_host, arch, vocab, args.out)
+    idf.save(str(Path(out) / "idf.json"))
     size_mb = sum(f.stat().st_size for f in Path(out).iterdir()) / 1e6
     log(f"assets written to {out} ({size_mb:.1f} MB)")
     print(json.dumps({"assets": out, "size_mb": round(size_mb, 1),
