@@ -92,3 +92,67 @@ def test_hash_encoder_near_chance():
     chance = 10 / len(passages)
     # the zero-overlap design holds: hashing words buys (almost) nothing
     assert r < chance * 2.5, r
+
+
+def test_wilson_interval_sane():
+    from modular_rag_system_tpu.models.external_eval import wilson_interval
+
+    lo, hi = wilson_interval(0.5, 304)
+    assert 0.44 < lo < 0.5 < hi < 0.56
+    assert wilson_interval(0.0, 0) == (0.0, 1.0)
+    lo1, hi1 = wilson_interval(1.0, 10)
+    assert hi1 == 1.0 and lo1 > 0.6
+
+
+def test_train_assets_disjoint_from_eval():
+    """The round-5 TRAINING assets (assets/train/) must not leak any
+    eval text: the external eval is eval-only by construction, and the
+    encoder's train corpus may never contain an eval passage, sentence,
+    or query (external_eval.py authoring discipline)."""
+    import re
+
+    from modular_rag_system_tpu.models.corpus import load_train_qa
+
+    tq, tp = load_train_qa()
+    assert len(tq) == len(tp) >= 250
+    eq, ep = load_external_qa()
+    train_text = set(tq) | set(tp)
+    assert not (train_text & (set(eq) | set(ep)))
+    # sentence-level: no eval sentence (>40 chars) appears verbatim
+    # anywhere in the training text
+    joined = " ".join(train_text).lower()
+    for passage in ep:
+        for sent in re.split(r"(?<=[.!?])\s+", passage):
+            s = sent.strip().lower()
+            if len(s) > 40:
+                assert s not in joined, s
+
+
+def test_make_question_pairs_form():
+    from modular_rag_system_tpu.models.corpus import (
+        _WH_PREFIXES,
+        make_question_pairs,
+    )
+
+    sents = [
+        "The reactor vessel is cooled by circulating pressurized water.",
+        "Limestone dissolves slowly in rainwater that absorbed carbon "
+        "dioxide from the air.",
+    ]
+    qs, ps = make_question_pairs(sents, 10, seed=0)
+    assert len(qs) == len(ps) == 10
+    for q, p in zip(qs, ps):
+        assert any(q.startswith(w) for w in _WH_PREFIXES), q
+        assert p in (s.lower() for s in sents)
+
+
+def test_alias_substitute_bidirectional():
+    import random
+
+    from modular_rag_system_tpu.models.corpus import alias_substitute
+
+    out = alias_substitute("the red planet has storms", random.Random(0),
+                           p=1.0)
+    assert "mars" in out and "red planet" not in out
+    back = alias_substitute("mars has storms", random.Random(1), p=1.0)
+    assert "mars" not in back  # replaced by one of its surface forms
