@@ -154,6 +154,20 @@ def synonym_table() -> Dict[str, List[str]]:
     return table
 
 
+def load_knowledge() -> List[str]:
+    """Hand-written general-knowledge sentences
+    (assets/train/knowledge.json): the only general-English text in a
+    zero-egress container (site-packages prose is purely technical).
+    Grounds the from-scratch encoder's content vocabulary; eval-leak
+    filtered at merge time and tested disjoint."""
+    import json
+    from pathlib import Path
+
+    path = (Path(__file__).resolve().parent.parent / "assets" / "train"
+            / "knowledge.json")
+    return list(json.loads(path.read_text())["sentences"])
+
+
 def load_train_qa():
     """Hand-written TRAINING QA pairs (assets/train/qa_pairs.json).
 

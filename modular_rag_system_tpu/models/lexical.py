@@ -277,6 +277,11 @@ class HybridEncoder:
         if tc is not None:
             self.token_count = tc
 
+    @property
+    def tokenizer(self):
+        """The dense side's tokenizer (chunker/stats integration)."""
+        return getattr(self.dense, "tokenizer", None)
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         D = np.asarray(self.dense.encode(list(texts)), np.float32)
         norms = np.linalg.norm(D, axis=1, keepdims=True)

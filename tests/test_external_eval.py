@@ -113,10 +113,14 @@ def test_train_assets_disjoint_from_eval():
 
     from modular_rag_system_tpu.models.corpus import load_train_qa
 
+    from modular_rag_system_tpu.models.corpus import load_knowledge
+
     tq, tp = load_train_qa()
     assert len(tq) == len(tp) >= 250
+    know = load_knowledge()
+    assert len(know) >= 800
     eq, ep = load_external_qa()
-    train_text = set(tq) | set(tp)
+    train_text = set(tq) | set(tp) | set(know)
     assert not (train_text & (set(eq) | set(ep)))
     # sentence-level: no eval sentence (>40 chars) appears verbatim
     # anywhere in the training text
@@ -126,6 +130,27 @@ def test_train_assets_disjoint_from_eval():
             s = sent.strip().lower()
             if len(s) > 40:
                 assert s not in joined, s
+    # the merge-time leak filter holds: no knowledge sentence's
+    # content-word set overlaps a single eval item by >= 60%
+    stop = set("""the a an of to in on for and or is are was were be been
+    does do did why how what which when who with from its it their your my
+    that this these those as by at if can could should would will shall may
+    might must not no than then so such very much many most more less few
+    some any all each every other another like about into over under between
+    among through during while there here also just only even still yet
+    once again""".split())
+    word = re.compile(r"[a-z][a-z'-]*")
+
+    def cw(t):
+        return {w for w in word.findall(t.lower()) if w not in stop}
+
+    ev_sets = [cw(q) | cw(p) for q, p in zip(eq, ep)]
+    for s in know:
+        ws = cw(s)
+        if not ws:
+            continue
+        mx = max(len(ws & e) / len(ws) for e in ev_sets)
+        assert mx < 0.6, (mx, s)
 
 
 def test_make_question_pairs_form():

@@ -72,6 +72,7 @@ def main() -> int:
         _substitute,
         alias_substitute,
         harvest_container_text,
+        load_knowledge,
         load_train_qa,
         make_pairs,
         make_question_pairs,
@@ -128,10 +129,16 @@ def main() -> int:
     tr_q, tr_p = qa_q[:-hold], qa_p[:-hold]
     log(f"QA pairs: {len(tr_q)} train / {len(ho_q)} held-out")
 
+    # hand-written general-knowledge corpus: the only general-English
+    # text in the container — repeat it so WordPiece gives its content
+    # vocabulary whole-word pieces despite the much larger harvested set
+    knowledge = load_knowledge()
+    log(f"knowledge corpus: {len(knowledge)} sentences")
+
     synth = make_paraphrase_corpus(n_entities=n_ent, n_relations=n_rel,
                                    seed=0)
     vocab_text = (train_sents + synth.docs + synth.train_queries
-                  + tr_q + tr_p + lexicon_vocabulary()
+                  + knowledge * 8 + tr_q + tr_p + lexicon_vocabulary()
                   + [a + " " + b for a, b in SYNONYMS]
                   + [f"{k} {v}" for k, v in ALIASES.items()])
     t0 = time.time()
@@ -142,11 +149,18 @@ def main() -> int:
     n_pairs = args.steps * args.batch
     qs, ps = [], []
 
-    # 40% harvested crop/synonym pairs (now lexicon-wide synonyms)
-    a, b = make_pairs(train_sents, int(n_pairs * 0.40), seed=1)
+    # 30% harvested crop/synonym pairs (now lexicon-wide synonyms)
+    a, b = make_pairs(train_sents, int(n_pairs * 0.30), seed=1)
     qs += a; ps += b
-    # 20% wh-question-template pairs over harvested sentences
-    a, b = make_question_pairs(train_sents, int(n_pairs * 0.20), seed=2)
+    # 10% wh-question-template pairs over harvested sentences
+    a, b = make_question_pairs(train_sents, int(n_pairs * 0.10), seed=2)
+    qs += a; ps += b
+    # 15% knowledge-corpus crop/synonym pairs (oversampled: this is
+    # where the general-English content vocabulary gets grounded)
+    a, b = make_pairs(knowledge, int(n_pairs * 0.15), seed=5)
+    qs += a; ps += b
+    # 15% knowledge-corpus wh-question pairs
+    a, b = make_question_pairs(knowledge, int(n_pairs * 0.15), seed=6)
     qs += a; ps += b
     # 20% QA amplification: original pair + alias/synonym variants +
     # question templates over the QA passages
@@ -161,17 +175,13 @@ def main() -> int:
             qa_pool.append((_substitute(qw, table, arng, p=0.5), p.lower()))
     tq, tp = make_question_pairs(tr_p, max(len(qa_pool), 1), seed=4)
     qa_pool += list(zip(tq, tp))
-    target = int(n_pairs * 0.20)
-    while len(qs) < int(n_pairs * 0.80) and qa_pool:
+    while len(qs) < int(n_pairs * 0.85) and qa_pool:
         q, p = qa_pool[arng.randrange(len(qa_pool))]
         qs.append(q); ps.append(p)
-        target -= 1
-        if target <= 0:
-            break
-    # 10% synthetic compositional facts
+    # ~8% synthetic compositional facts
     synth_q = synth.train_queries
     synth_p = [synth.docs[i] for i in synth.train_doc_idx]
-    while len(qs) < n_pairs * 0.90:
+    while len(qs) < n_pairs * 0.93:
         i = rng.randrange(len(synth_q))
         qs.append(synth_q[i]); ps.append(synth_p[i])
     # 10% raw synonym word pairs + alias phrase pairs
@@ -225,7 +235,7 @@ def main() -> int:
     trainer.sync_encoder()
 
     # ---------------- bundled IDF for the lexical encoder -------------
-    idf = IdfTable.from_texts(train_sents[:50_000] + tr_p)
+    idf = IdfTable.from_texts(train_sents[:50_000] + knowledge + tr_p)
     log(f"idf table: {len(idf.idf)} stems")
 
     # ---------------- evaluation (held-out QA tunes the hybrid) -------
