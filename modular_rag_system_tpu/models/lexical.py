@@ -70,35 +70,58 @@ def fnv1a(s: str) -> int:
     return h
 
 
-_SUFFIXES = (
-    # order matters: longest first, and -ization before -ation etc.
-    "izations", "ization", "ations", "ation", "ingly", "ising", "izing",
-    "ings", "ment", "ness", "ance", "ence", "ship", "hood", "less",
-    "ing", "ers", "ies", "ied", "ily", "ed", "es", "ly", "er", "est",
-    "s",
+# words ending in -s that are NOT plurals (stripping would corrupt)
+_S_EXCEPTIONS = frozenset((
+    "lens", "gas", "bus", "atlas", "bonus", "virus", "census", "chaos",
+    "cosmos", "iris", "pelvis", "basis", "crisis", "tennis", "alias",
+    "bias", "canvas", "circus", "citrus", "focus", "fungus", "genius",
+    "campus", "status", "physics", "mathematics", "news", "series",
+    "species", "diabetes", "rabies", "measles", "molasses", "always",
+    "perhaps", "whereas", "plus", "versus", "thus",
+))
+
+_DERIV_SUFFIXES = (
+    # order matters: longest first.  -er/-est are deliberately ABSENT:
+    # stripping them corrupts common nouns (forest -> for, spider ->
+    # spid) for the rare benefit of matching comparatives.
+    "ization", "ations", "ation", "ingly", "ising", "izing",
+    "ings", "ment", "ness", "ing", "edly", "ied", "ily", "ed", "ly",
 )
 
 
 def light_stem(word: str) -> str:
     """Rule-based suffix stripper (Porter-lite).
 
-    Deliberately conservative: a stem must keep >= 3 characters, and a
-    few high-frequency irregulars are mapped explicitly.  The goal is
-    collision of inflectional variants ("dims"/"dimming"/"dimmed" ->
-    "dimm"-ish), not linguistic perfection."""
+    Deliberately conservative: handles plural -s (with a non-plural
+    exception list and -ies -> y), common verbal/derivational endings,
+    consonant undoubling (dimm -> dim), and a final silent-e strip so
+    "rise"/"rising" collide.  The goal is collision of inflectional
+    variants, not linguistic perfection — the same rules apply to query
+    and document, so stems only need to be consistent."""
     w = word
     if len(w) <= 3:
         return w
-    for suf in _SUFFIXES:
-        if w.endswith(suf):
-            stem = w[: len(w) - len(suf)]
-            if len(stem) >= 3:
-                # undouble final consonant: "dimm" -> "dim", "runn" -> "run"
-                if len(stem) >= 4 and stem[-1] == stem[-2] and stem[-1] not in "aeiouls":
-                    stem = stem[:-1]
-                # restore silent e for -ation/-ing strips is skipped; the
-                # same strip applies to query and doc so stems still match
-                return stem
+    if w in _S_EXCEPTIONS:
+        return w
+    # plural endings first
+    if w.endswith("ies") and len(w) >= 5:
+        w = w[:-3] + "y"
+    elif w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("es") and len(w) >= 5 and w[-3] in "sxz":
+        w = w[:-2]  # boxes, classes, quizzes
+    elif w.endswith("s") and not w.endswith(("ss", "us", "is")):
+        w = w[:-1]
+    for suf in _DERIV_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[: len(w) - len(suf)]
+            break
+    # undouble final consonant: "dimm" -> "dim", "runn" -> "run"
+    if len(w) >= 4 and w[-1] == w[-2] and w[-1] not in "aeiouls":
+        w = w[:-1]
+    # final silent e: "rise" -> "ris" (matches "rising" -> "ris")
+    if len(w) >= 4 and w.endswith("e"):
+        w = w[:-1]
     return w
 
 
