@@ -114,11 +114,30 @@ def load_minilm_params(
     return params, hf_tok, arch
 
 
+def _hf_cache_present(model_name: str) -> bool:
+    """Cheap existence probe for an offline HF snapshot of the model.
+
+    Importing torch/transformers costs ~15 s of cold start; do it only
+    when a cache directory could actually satisfy the load (zero-egress
+    containers without a cache skip straight to the bundled encoder)."""
+    import os
+    from pathlib import Path
+
+    home = os.environ.get("HF_HOME")
+    hub = Path(home) / "hub" if home else Path.home() / ".cache" / "huggingface" / "hub"
+    return (hub / ("models--" + model_name.replace("/", "--"))).is_dir()
+
+
 def try_build_pretrained_encoder(config):
     """MiniLMEncoder with HF weights if a cache exists, else None."""
     from modular_rag_system_tpu.models.encoder import MiniLMEncoder
     from modular_rag_system_tpu.models.tokenizer import WordPieceTokenizer
 
+    explicit = getattr(config.embedding, "hf_checkpoint", "")
+    if not explicit and not _hf_cache_present(
+        "sentence-transformers/all-MiniLM-L6-v2"
+    ):
+        return None
     try:
         params, hf_tok, arch = load_minilm_params(
             local_dir=getattr(config.embedding, "hf_checkpoint", "") or None,

@@ -126,13 +126,10 @@ def test_hybrid_rejects_degenerate_weight():
         HybridEncoder(_D(), lex, weight=1.0)
 
 
-def test_engine_sizes_index_from_hybrid_encoder(tmp_path):
-    """One-encoder contract: with lexical_dim set, the engine's index
-    width follows the hybrid encoder, not the raw embedding.dim."""
+def _hybrid_cfg(tmp_path):
     from modular_rag_system_tpu.config import RAGConfig
-    from modular_rag_system_tpu.engine import RAGEngine
 
-    cfg = RAGConfig.load(overrides={
+    return RAGConfig.load(overrides={
         "embedding.model": "minilm",
         "embedding.lexical_dim": 128,
         "embedding.num_layers": 1,
@@ -142,9 +139,29 @@ def test_engine_sizes_index_from_hybrid_encoder(tmp_path):
         "retrieval.similarity_threshold": 0.0,
         "index.initial_capacity": 64,
     })
-    eng = RAGEngine(cfg)
+
+
+def test_engine_sizes_index_from_hybrid_encoder(tmp_path):
+    """One-encoder contract: with lexical_dim set, the engine's index
+    width follows the hybrid encoder, not the raw embedding.dim."""
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    eng = RAGEngine(_hybrid_cfg(tmp_path))
     try:
         assert eng.index.dim == eng.encoder.dim == 384 + 128
+        assert eng.config.embedding.dim == 384 + 128
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.slow
+def test_engine_hybrid_ingest_query_roundtrip(tmp_path):
+    """Full hybrid path: device bulk ingest (dense on device + lexical
+    concat) and host query both run and agree on the corpus."""
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    eng = RAGEngine(_hybrid_cfg(tmp_path))
+    try:
         eng.add_document("the volcano erupted with molten lava", source="t")
         res = eng.query("volcanic eruption", max_results=2)
         assert res.total_documents_searched == 1
