@@ -374,21 +374,28 @@ class RAGEngine:
     # protocol (index.search_ops / search_core / search_token).
     def _device_query(self, texts, k: int):
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+        from modular_rag_system_tpu.models.lexical import HybridEncoder
         from modular_rag_system_tpu.parallel.sharded import ShardedIndex
 
         sharded = isinstance(self.index, ShardedIndex)
-        if not isinstance(self.encoder, MiniLMEncoder):
+        # hybrid rides the SAME one-dispatch program: the dense forward
+        # runs on device and the (cheap, host-computed) lexical half is
+        # passed in as an argument and concatenated on device — a
+        # second dispatch for concat would double single-query latency
+        hybrid = isinstance(self.encoder, HybridEncoder)
+        dense = self.encoder.dense if hybrid else self.encoder
+        if not isinstance(dense, MiniLMEncoder):
             return None
         import jax
         import jax.numpy as jnp
 
-        ids, mask = self.encoder.tokenizer.encode_batch(list(texts))
+        ids, mask = dense.tokenizer.encode_batch(list(texts))
         # crop to the pow-2 sequence bucket: queries are short (~10-60
         # tokens) and the encoder forward at full max_seq_len costs
         # ~8x the search itself at Q=256.  jit retraces per shape, so
         # the cached program handles every bucket; results match the
         # ingest path, which buckets identically (models/encoder.py).
-        ids, mask = self.encoder._crop_seq(ids, mask)
+        ids, mask = dense._crop_seq(ids, mask)
         Q = len(texts)
         Qp = 1
         while Qp < Q:
@@ -402,11 +409,16 @@ class RAGEngine:
         if Qp != Q:
             ids = np.pad(ids, ((0, Qp - Q), (0, 0)))
             mask = np.pad(mask, ((0, Qp - Q), (0, 0)))
+        lex_q = None
+        if hybrid:
+            lex_q = self.encoder.lexical.encode(list(texts))
+            if Qp != Q:
+                lex_q = np.pad(lex_q, ((0, Qp - Q), (0, 0)))
         # params are CLOSED OVER (device constants), not passed per call:
         # marshalling ~100 parameter buffers through the device relay per
         # query dominated single-query latency. sync_encoder()-style param
         # swaps must invalidate via the id() check below.
-        params = self.encoder.params
+        params = dense.params
         # Snapshot ops AND dispatch under the index lock: a concurrent
         # add both mutates count and DONATES the old E buffer, so an
         # unlocked reader can pass an already-deleted array handle into
@@ -418,7 +430,7 @@ class RAGEngine:
         with self.index._lock:
             token = (self.index.search_token(k) if sharded
                      else self.index.search_token())
-            key = (Qp, k, sharded, id(params)) + token
+            key = (Qp, k, sharded, id(params), hybrid) + token
             fn = self._fused_query_cache.get(key)
             if fn is not None:
                 # LRU refresh: re-insert on hit so the FIFO eviction
@@ -446,24 +458,43 @@ class RAGEngine:
                 while len(self._fused_query_cache) >= self._FUSED_CACHE_MAX:
                     oldest = next(iter(self._fused_query_cache))
                     del self._fused_query_cache[oldest]
-                module = self.encoder.module
+                module = dense.module
                 inner = (self.index.search_core(Qp, k) if sharded
                          else self.index.search_core(k))
+                if hybrid:
+                    import math as _math
 
-                def packed(ops, count, ids, mask):
-                    q = module.apply({"params": params}, ids, mask)
-                    vals, rid = inner(ops, count, q)
-                    # pack (scores, rows) into ONE output: every
-                    # device->host fetch is a full relay round trip, so
-                    # two fetches double single-query latency.  Pack in
-                    # INT32 space — bitcasting row ids to f32 makes
-                    # denormals, which the TPU flushes to zero (ids
-                    # silently became 0 at scale; CPU tests passed
-                    # because CPU preserves denormals).
-                    return jnp.concatenate(
-                        [jax.lax.bitcast_convert_type(vals, jnp.int32), rid],
-                        axis=1,
-                    )
+                    wd = _math.sqrt(1.0 - self.encoder.weight)
+                    wl = _math.sqrt(self.encoder.weight)
+
+                    def packed(ops, count, ids, mask, lex):
+                        # module output is already unit-norm
+                        # (encoder.py:112); concat matches
+                        # HybridEncoder.encode exactly
+                        q = module.apply({"params": params}, ids, mask)
+                        q = jnp.concatenate([wd * q, wl * lex], axis=1)
+                        vals, rid = inner(ops, count, q)
+                        return jnp.concatenate(
+                            [jax.lax.bitcast_convert_type(vals, jnp.int32),
+                             rid],
+                            axis=1,
+                        )
+                else:
+                    def packed(ops, count, ids, mask):
+                        q = module.apply({"params": params}, ids, mask)
+                        vals, rid = inner(ops, count, q)
+                        # pack (scores, rows) into ONE output: every
+                        # device->host fetch is a full relay round trip,
+                        # so two fetches double single-query latency.
+                        # Pack in INT32 space — bitcasting row ids to f32
+                        # makes denormals, which the TPU flushes to zero
+                        # (ids silently became 0 at scale; CPU tests
+                        # passed because CPU preserves denormals).
+                        return jnp.concatenate(
+                            [jax.lax.bitcast_convert_type(vals, jnp.int32),
+                             rid],
+                            axis=1,
+                        )
 
                 fn = jax.jit(packed)
                 self._fused_query_cache[key] = fn
@@ -471,12 +502,11 @@ class RAGEngine:
                 ops = self.index.search_ops(self.index._effective_tier(k))
             else:
                 ops = self.index.search_ops()
-            out_dev = fn(
-                ops,
-                self.index.count_device(),
-                jnp.asarray(ids),
-                jnp.asarray(mask),
-            )
+            args = [ops, self.index.count_device(),
+                    jnp.asarray(ids), jnp.asarray(mask)]
+            if hybrid:
+                args.append(jnp.asarray(lex_q, jnp.float32))
+            out_dev = fn(*args)
         out = np.asarray(out_dev)
         scores = out[:Q, :k].view(np.float32)
         rows = out[:Q, k:]

@@ -167,3 +167,34 @@ def test_engine_hybrid_ingest_query_roundtrip(tmp_path):
         assert res.total_documents_searched == 1
     finally:
         eng.shutdown()
+
+
+@pytest.mark.slow
+def test_fused_hybrid_query_matches_two_step(tmp_path):
+    """The one-dispatch fused program with the lexical half passed as a
+    device argument must return the same rows/scores as host
+    encode_queries + index.search (engine.py fused-hybrid path)."""
+    import numpy as np
+
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    eng = RAGEngine(_hybrid_cfg(tmp_path))
+    try:
+        docs = ["the volcano erupted with molten lava",
+                "parliament debated the insurance statute",
+                "a rapid descent through the storm clouds",
+                "glaciers carve deep valleys over millennia"]
+        for i, d in enumerate(docs):
+            eng.add_document(d, source=f"s{i}")
+        queries = ["volcanic eruption", "insurance law debate"]
+        fused = eng._device_query(queries, 3)
+        assert fused is not None, "hybrid must ride the fused path"
+        f_scores, f_rows = fused
+        q_emb = np.asarray(eng.encoder.encode_queries(queries))
+        h_scores, h_rows = eng.index.search(q_emb, 3)
+        np.testing.assert_array_equal(np.asarray(f_rows),
+                                      np.asarray(h_rows))
+        np.testing.assert_allclose(np.asarray(f_scores),
+                                   np.asarray(h_scores), atol=2e-3)
+    finally:
+        eng.shutdown()
