@@ -62,10 +62,16 @@ class EmbeddingConfig:
     # wrapped in a HybridEncoder: the index dim becomes
     # dim + lexical_dim and cosine similarity decomposes as
     # (1-w)*cos(dense) + w*cos(lexical).  The lexical half is an
-    # IDF-weighted, lexicon-canonicalized signed-hash bag of words —
-    # the BM25-style precision term a from-scratch dense encoder lacks.
-    lexical_dim: int = 0
-    lexical_weight: float = 0.5
+    # IDF-weighted, lexicon-canonicalized signed-hash bag of words with
+    # subword n-grams and PMI co-occurrence expansion — the precision
+    # and world-knowledge terms a from-scratch dense encoder lacks.
+    # ON by default since round 5: out-of-the-box real-English
+    # retrieval is dominated by the lexical half (weight tuned on the
+    # held-out QA split, tools/build_default_encoder.py); the dense
+    # half still carries paraphrase/near-duplicate matching.  Set
+    # lexical_dim = 0 for a pure dense encoder (index dim = dim).
+    lexical_dim: int = 384
+    lexical_weight: float = 0.9
 
 
 @dataclass

@@ -237,6 +237,8 @@ class IdfTable:
 
 _BUNDLED_IDF = (Path(__file__).resolve().parent.parent / "assets"
                 / "default_encoder" / "idf.json")
+_BUNDLED_EXPANSION = (Path(__file__).resolve().parent.parent / "assets"
+                      / "default_encoder" / "expansion.json")
 
 
 def load_bundled_idf() -> Optional[IdfTable]:
@@ -246,30 +248,133 @@ def load_bundled_idf() -> Optional[IdfTable]:
         return None
 
 
+class ExpansionTable:
+    """stem -> [(related stem, strength 0..1)] from corpus co-occurrence.
+
+    Distributional semantics as DATA: pointwise mutual information over
+    sentence co-occurrence in the training corpora (knowledge sentences
+    + harvested English) links words the hand lexicon cannot enumerate
+    ("eclipse"~"shadow", "yeast"~"dough").  Expanding a text's features
+    with its stems' top partners at a sub-unit weight gives the lexical
+    encoder a soft-match term — the same mechanism word embeddings
+    learn, derived from the same corpora, but inspectable."""
+
+    def __init__(self, table: Dict[str, list]) -> None:
+        self.table = table
+
+    @classmethod
+    def from_texts(cls, texts: Iterable[str], min_count: int = 3,
+                   min_pmi: float = 1.5, top_partners: int = 5
+                   ) -> "ExpansionTable":
+        from collections import defaultdict
+
+        cnt: Counter = Counter()
+        co: Dict[str, Counter] = defaultdict(Counter)
+        feats = _Canonicalizer.get().features
+        n_docs = 0
+        for t in texts:
+            fs = sorted(set(feats(t)))
+            n_docs += 1
+            for i, a in enumerate(fs):
+                cnt[a] += 1
+                for b in fs[i + 1:]:
+                    co[a][b] += 1
+        table: Dict[str, list] = {}
+        for a, partners in co.items():
+            if cnt[a] < min_count:
+                continue
+            for b, c_ab in partners.items():
+                if cnt[b] < min_count or c_ab < 2:
+                    continue
+                pmi = math.log(c_ab * n_docs / (cnt[a] * cnt[b]))
+                if pmi <= min_pmi:
+                    continue
+                w = round(min(pmi / 3.0, 1.0), 3)
+                table.setdefault(a, []).append((b, w))
+                table.setdefault(b, []).append((a, w))
+        for a in table:
+            table[a] = sorted(table[a], key=lambda x: -x[1])[:top_partners]
+        return cls(table)
+
+    def save(self, path: str) -> None:
+        Path(path).write_text(json.dumps(self.table))
+
+    @classmethod
+    def load(cls, path: str) -> "ExpansionTable":
+        raw = json.loads(Path(path).read_text())
+        return cls({k: [(b, float(w)) for b, w in v] for k, v in raw.items()})
+
+    def partners(self, stem: str):
+        return self.table.get(stem, ())
+
+
+def load_bundled_expansion() -> Optional[ExpansionTable]:
+    try:
+        return ExpansionTable.load(str(_BUNDLED_EXPANSION))
+    except Exception:
+        return None
+
+
 class LexicalHashEncoder:
     """Deterministic sparse-to-dense lexical embedding.
 
-    encode(texts) -> (n, dim) float32, L2-normalized.  Feature weight =
-    (1 + log tf) * idf, signed-hashed into ``dim`` buckets (sign from a
-    second hash), so the cosine of two vectors approximates the
-    IDF-weighted overlap of their canonical stems — BM25's heart, in a
-    form every index tier already understands."""
+    encode(texts) -> (n, dim) float32, L2-normalized.  Three feature
+    families share the signed-hash space (weights tuned on the held-out
+    QA split, never the external eval):
+
+    * canonical stems — weight (1 + log tf) * idf: BM25's heart;
+    * char 4-grams of each stem — weight ``subword_weight * idf / n``:
+      morphology the rule stemmer can't collapse (buoyant~buoyancy);
+    * expansion partners — weight ``expansion_weight * idf_b * pmi``:
+      corpus co-occurrence neighbors (ExpansionTable), the soft
+      distributional-match term.
+
+    Cosine of two vectors then approximates a weighted lexical+
+    morphological+topical overlap score, in a form every index tier
+    already understands."""
 
     def __init__(self, dim: int = 384, idf: Optional[IdfTable] = None,
+                 expansion: Optional[ExpansionTable] = None,
+                 subword_weight: float = 0.8,
+                 expansion_weight: float = 0.5,
+                 subword_n: int = 4,
                  name: str = "lexical-hash") -> None:
         self.dim = int(dim)
         self.idf = idf or load_bundled_idf() or IdfTable({}, 1.0)
+        self.expansion = (expansion if expansion is not None
+                          else load_bundled_expansion())
+        self.subword_weight = float(subword_weight)
+        self.expansion_weight = float(expansion_weight)
+        self.subword_n = int(subword_n)
         self.name = f"{name}-{dim}"
         self._canon = _Canonicalizer.get()
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float32)
+        n_gram = self.subword_n
         for i, t in enumerate(texts):
             c = Counter(self._canon.features(t))
             for w, n in c.items():
+                idf_w = self.idf(w)
                 h = fnv1a(w)
                 sign = 1.0 if (fnv1a(w + "\x01") & 1) else -1.0
-                out[i, h % self.dim] += sign * self.idf(w) * (1.0 + math.log(n))
+                out[i, h % self.dim] += sign * idf_w * (1.0 + math.log(n))
+                if self.subword_weight > 0.0:
+                    padded = "^" + w + "$"
+                    n_spans = max(len(padded) - n_gram + 1, 1)
+                    sub_w = self.subword_weight * idf_w / n_spans
+                    for j in range(n_spans):
+                        g = padded[j:j + n_gram]
+                        hg = fnv1a("#g" + g)
+                        sg = 1.0 if (fnv1a(g + "\x02") & 1) else -1.0
+                        out[i, hg % self.dim] += sg * sub_w
+                if self.expansion is not None and self.expansion_weight > 0.0:
+                    for b, strength in self.expansion.partners(w):
+                        hb = fnv1a(b)
+                        sb = 1.0 if (fnv1a(b + "\x01") & 1) else -1.0
+                        out[i, hb % self.dim] += (
+                            sb * self.expansion_weight * self.idf(b)
+                            * strength)
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.maximum(norms, 1e-9, out=norms)
         out /= norms

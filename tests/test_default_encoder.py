@@ -9,9 +9,20 @@ from modular_rag_system_tpu.models import build_encoder
 
 
 def test_default_build_loads_bundled_checkpoint():
+    """The shipped default is the HYBRID of the bundled dense
+    checkpoint and the lexical hash encoder (round 5): index dim =
+    dense 384 + lexical 384."""
     enc = build_encoder(RAGConfig())
-    assert "bundled" in enc.name
+    assert "bundled" in enc.name and "hybrid" in enc.name
     assert enc.tokenizer.name == "wordpiece"
+    assert enc.dim == 768
+    assert enc.dense.dim == 384 and enc.lexical.dim == 384
+
+
+def test_default_build_dense_only_when_disabled():
+    cfg = RAGConfig.load(overrides={"embedding.lexical_dim": 0})
+    enc = build_encoder(cfg)
+    assert "hybrid" not in enc.name
     assert enc.dim == 384
 
 
@@ -34,7 +45,8 @@ def test_bundled_encoder_with_shorter_max_seq_len():
     """config.max_seq_len < the checkpoint's max_len must crop the
     pos_embed table, not raise ScopeParamShapeError at encode time
     (regression: benchmarks config 2 sets max_seq_len=64)."""
-    cfg = RAGConfig().merged({"embedding": {"max_seq_len": 64}})
+    cfg = RAGConfig().merged({"embedding": {"max_seq_len": 64,
+                                            "lexical_dim": 0}})
     enc = build_encoder(cfg)
     assert "bundled" in enc.name
     assert enc.max_seq_len == 64
