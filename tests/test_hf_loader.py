@@ -114,7 +114,10 @@ def test_factory_uses_local_checkpoint(tiny_bert_dir):
     from modular_rag_system_tpu.models import build_encoder
 
     cfg = RAGConfig().merged({
-        "embedding": {"model": "minilm", "dim": 64, "hf_checkpoint": tiny_bert_dir},
+        # lexical_dim 0: this test compares the DENSE embeddings
+        # against the torch reference, so the hybrid wrap is disabled
+        "embedding": {"model": "minilm", "dim": 64,
+                      "hf_checkpoint": tiny_bert_dir, "lexical_dim": 0},
     })
     enc = build_encoder(cfg)
     assert enc.tokenizer.name == "wordpiece"
@@ -135,7 +138,8 @@ def test_factory_uses_local_checkpoint(tiny_bert_dir):
 
     # a checkpoint whose hidden size mismatches the index dim is refused
     cfg2 = RAGConfig().merged({
-        "embedding": {"model": "minilm", "dim": 384, "hf_checkpoint": tiny_bert_dir},
+        "embedding": {"model": "minilm", "dim": 384,
+                      "hf_checkpoint": tiny_bert_dir, "lexical_dim": 0},
     })
     enc2 = build_encoder(cfg2)
     # refused HF checkpoint now falls back to the BUNDLED default
