@@ -283,9 +283,17 @@ class EnhancedRAGSystem:
         Returns training metrics, or None when too few pairs exist or the
         encoder isn't trainable (fake/ollama backends)."""
         from modular_rag_system_tpu.models.encoder import MiniLMEncoder
+        from modular_rag_system_tpu.models.lexical import HybridEncoder
 
         pairs = list(self._training_pairs) + list(extra_pairs or [])
-        if len(pairs) < min_pairs or not isinstance(self.engine.encoder, MiniLMEncoder):
+        # hybrid default (round 5): fine-tune the DENSE side; the
+        # lexical half is statistics, not weights.  The hybrid wrapper
+        # shares the dense object, so synced params flow straight into
+        # serving (and reembed_all below refreshes stored vectors).
+        enc = self.engine.encoder
+        if isinstance(enc, HybridEncoder):
+            enc = enc.dense
+        if len(pairs) < min_pairs or not isinstance(enc, MiniLMEncoder):
             return None
         from modular_rag_system_tpu.models.train import ContrastiveTrainer
         from modular_rag_system_tpu.parallel.mesh import default_devices, make_train_mesh
@@ -301,7 +309,7 @@ class EnhancedRAGSystem:
             model_par = 2 if n % 2 == 0 and n > 1 else 1
             mesh = make_train_mesh(n // model_par, model_par, devices=devices)
             trainer = ContrastiveTrainer(
-                self.engine.encoder, mesh, learning_rate=learning_rate
+                enc, mesh, learning_rate=learning_rate
             )
             self._trainer = trainer
         qs = [q for q, _ in pairs]

@@ -624,7 +624,8 @@ def stream_search_core(E, count, q, k: int, block_rows: int, bin_width,
             E, scales.reshape(1, cap), count, qp, k if master is None
             else kf, br, interpret, bin_width=bin_width)
         if master is not None and kf > k:
-            vals, rid = refine_against_master(master, qp, rid, k)
+            vals, rid = refine_against_master(master, qp, rid, k,
+                                              cand_vals=vals)
     else:
         vals, rid = fused_topk_raw(E, count, qp, k, br, interpret,
                                    bin_width=bin_width)

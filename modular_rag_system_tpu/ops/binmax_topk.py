@@ -669,14 +669,22 @@ _MIN_TWOPASS_CAP = 8192
 _BIG_I32 = np.int32(2**31 - 1)
 
 
-def refine_against_master(E, q, rows, k: int):
+def refine_against_master(E, q, rows, k: int, cand_vals=None):
     """Rescore candidate ``rows`` (Q, kf) against the master matrix and
     return the exact top-k among them (ties by smallest id).
 
     The int8 tier over-selects kf = k + m candidates by quantized score,
     then this tiny (Q, kf) row gather re-ranks them in the master's
     precision — recall is then bounded by candidate COVERAGE, not by
-    int8 rounding, and returned similarities match the exact tiers'."""
+    int8 rounding, and returned similarities match the exact tiers'.
+
+    ``cand_vals``: the candidates' kernel scores.  When kf exceeds the
+    live row count the fused kernel pads its tail with id 0 at -inf —
+    without the mask below those slots would be rescored to row 0's
+    REAL master score and duplicate it in the output (caught round 5 by
+    the hybrid fused-parity test at count == k)."""
+    if cand_vals is not None:
+        rows = jnp.where(jnp.isfinite(cand_vals), rows, -1)
     safe = jnp.maximum(rows, 0)
     cand = E[safe].astype(jnp.float32)  # (Q, kf, d) — tiny
     # q rounds to the master dtype so similarities match the exact

@@ -783,7 +783,7 @@ class ShardedIndex:
                     )
                     if kf > k:
                         vals, loc = refine_against_master(
-                            master_s[0], q, loc, k)
+                            master_s[0], q, loc, k, cand_vals=vals)
             else:
                 raise ValueError(f"unknown tier {tier!r}")
             gids = loc * S + s

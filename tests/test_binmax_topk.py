@@ -398,3 +398,58 @@ def test_select_bins_distinct_when_live_bins_scarce(rng):
             live = set(range((count + 63) // 64))
             for r in range(bins.shape[0]):
                 assert live <= set(bins[r].tolist()), (nb, count)
+
+
+def test_refine_masks_padded_candidates(rng):
+    """kf > live-count: the fused int8 kernel pads its candidate tail
+    with id 0 at -inf.  refine_against_master(cand_vals=...) must mask
+    those slots instead of rescoring them to row 0's REAL master score
+    (which duplicated row 0 in the output — caught by the round-5
+    hybrid fused-parity run at count == k)."""
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.ops.binmax_topk import refine_against_master
+
+    E = rng.standard_normal((8, 32)).astype(np.float32)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    q = jnp.asarray(E[:1])
+    # candidate list as the kernel emits it at count=4, kf=8: live ids
+    # then id-0 padding at -inf
+    rows = jnp.asarray([[0, 3, 1, 2, 0, 0, 0, 0]], jnp.int32)
+    vals = jnp.asarray([[0.9, 0.2, 0.1, 0.05,
+                         -np.inf, -np.inf, -np.inf, -np.inf]], jnp.float32)
+    out_vals, out_rows = refine_against_master(
+        jnp.asarray(E), q, rows, 6, cand_vals=vals)
+    got = np.asarray(out_rows)[0]
+    live = got[got >= 0]
+    assert len(set(live.tolist())) == len(live), got
+    assert set(live.tolist()) == {0, 1, 2, 3}
+    # without the mask the bug reproduces: row 0 appears twice
+    bad_vals, bad_rows = refine_against_master(jnp.asarray(E), q, rows, 6)
+    assert len(set(np.asarray(bad_rows)[0].tolist())) < 6
+
+
+def test_device_index_int8_no_duplicates_at_k_equals_count(rng):
+    """End-to-end regression: int8 tier at k == count must return each
+    live row at most once (both the host search and the fused core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modular_rag_system_tpu.index import DeviceIndex
+
+    for dim in (64, 448):
+        E = rng.standard_normal((6, dim)).astype(np.float32)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        idx = DeviceIndex(dim=dim, capacity=64, tier="int8")
+        idx.add(E)
+        q = E[:1]
+        s, r = idx.search(q, 6)
+        live = np.asarray(r)[0]
+        live = live[live >= 0]
+        assert len(set(live.tolist())) == len(live), live
+        core = idx.search_core(6)
+        vals, rid = jax.jit(core)(idx.search_ops(), idx.count_device(),
+                                  jnp.asarray(q))
+        live = np.asarray(rid)[0]
+        live = live[live >= 0]
+        assert len(set(live.tolist())) == len(live), live

@@ -74,10 +74,13 @@ def test_flash_config_plumbing(tmp_path):
     from modular_rag_system_tpu.models import build_encoder
 
     cfg = RAGConfig().merged({
+        # lexical_dim 0: this asserts on the DENSE module's attention
+        # impl, so the hybrid wrap (round-5 default) is disabled
         "embedding": {"model": "minilm", "attention_impl": "flash",
                       "bundled_checkpoint": "", "max_seq_len": 32,
                       "num_layers": 2, "num_heads": 2, "mlp_dim": 64,
-                      "dim": 32, "vocab_size": 500, "batch_size": 4},
+                      "dim": 32, "vocab_size": 500, "batch_size": 4,
+                      "lexical_dim": 0},
     })
     enc = build_encoder(cfg)
     assert enc.module.attention_impl == "flash"
