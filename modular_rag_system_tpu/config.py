@@ -71,7 +71,7 @@ class EmbeddingConfig:
     # half still carries paraphrase/near-duplicate matching.  Set
     # lexical_dim = 0 for a pure dense encoder (index dim = dim).
     lexical_dim: int = 384
-    lexical_weight: float = 0.9
+    lexical_weight: float = 0.8
 
 
 @dataclass

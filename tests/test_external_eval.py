@@ -130,19 +130,23 @@ def test_train_assets_disjoint_from_eval():
             s = sent.strip().lower()
             if len(s) > 40:
                 assert s not in joined, s
-    # the merge-time leak filter holds: no knowledge sentence's
-    # content-word set overlaps a single eval item by >= 60%
+    # the merge-time leak filter holds: no training sentence's STEMMED
+    # content-word set overlaps a single eval item by >= 55% (stems, so
+    # morphological variants can't slip through — round-5 tightening)
+    from modular_rag_system_tpu.models.lexical import light_stem
+
     stop = set("""the a an of to in on for and or is are was were be been
     does do did why how what which when who with from its it their your my
     that this these those as by at if can could should would will shall may
     might must not no than then so such very much many most more less few
     some any all each every other another like about into over under between
     among through during while there here also just only even still yet
-    once again""".split())
+    once again makes make made one two first same called""".split())
     word = re.compile(r"[a-z][a-z'-]*")
 
     def cw(t):
-        return {w for w in word.findall(t.lower()) if w not in stop}
+        return {light_stem(w) for w in word.findall(t.lower())
+                if w not in stop}
 
     ev_sets = [cw(q) | cw(p) for q, p in zip(eq, ep)]
     for s in know:
@@ -150,7 +154,7 @@ def test_train_assets_disjoint_from_eval():
         if not ws:
             continue
         mx = max(len(ws & e) / len(ws) for e in ev_sets)
-        assert mx < 0.6, (mx, s)
+        assert mx < 0.55, (mx, s)
 
 
 def test_make_question_pairs_form():

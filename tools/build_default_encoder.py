@@ -61,7 +61,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--vocab-size", type=int, default=16384)
     ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--heldout-qa", type=int, default=64,
+    ap.add_argument("--heldout-qa", type=int, default=96,
                     help="QA pairs reserved for tuning eval (never trained)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -52,8 +52,8 @@ def main() -> int:
     random.Random(13).shuffle(order)
     qa_q = [qa_q[i] for i in order]
     qa_p = [qa_p[i] for i in order]
-    ho_q, ho_p = qa_q[-64:], qa_p[-64:]
-    tr_p = qa_p[:-64]
+    ho_q, ho_p = qa_q[-96:], qa_p[-96:]
+    tr_p = qa_p[:-96]
 
     idf = IdfTable.from_texts(harv + know + tr_p)
     # knowledge corpus repeated: its facts are the densest source of
