@@ -333,6 +333,7 @@ def main() -> int:
             from modular_rag_system_tpu.models.external_eval import (
                 load_external_qa,
                 recall_at_k_external,
+                recall_at_k_legacy96,
                 wilson_interval,
             )
             from modular_rag_system_tpu.models.fake import FeatureHashEncoder
@@ -358,6 +359,10 @@ def main() -> int:
                 "semantic_external_hash_baseline": round(
                     recall_at_k_external(FeatureHashEncoder(dim=d), k=k),
                     4),
+                # the 96-item pool exactly as round 4 measured it
+                # (fixed instrument; r4 default encoder scored 0.2292)
+                "semantic_recall_external_legacy96": round(
+                    recall_at_k_legacy96(shipped, k=k), 4),
             })
             # dense-only ablation (the bundled checkpoint without the
             # lexical half) — names what each component contributes

@@ -76,6 +76,24 @@ def recall_at_k_external(encoder, k: int = 10,
     return float(np.mean([i in top[i] for i in range(len(queries))]))
 
 
+def recall_at_k_legacy96(encoder, k: int = 10,
+                         path: str | None = None) -> float:
+    """recall@k over the FIRST 96 items as their own retrieval pool —
+    the eval exactly as it existed in round 4 (those items are
+    unchanged), so round-over-round encoder progress is measured on a
+    fixed instrument while the full set keeps growing."""
+    queries, passages = load_external_qa(path)
+    queries, passages = queries[:96], passages[:96]
+    D = np.asarray(encoder.encode(list(passages)), np.float32)
+    Q = np.asarray(encoder.encode(list(queries)), np.float32)
+    D /= np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-9)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-9)
+    s = Q @ D.T
+    kk = min(k, s.shape[1])
+    top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+    return float(np.mean([i in top[i] for i in range(len(queries))]))
+
+
 def bundled_encoder_external_recall(k: int = 10) -> float:
     """recall@k of the BUNDLED default encoder on the external set.
 
