@@ -170,6 +170,47 @@ def test_engine_hybrid_ingest_query_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_sharded_hybrid_query_roundtrip(tmp_path):
+    """Hybrid encoder over a ShardedIndex: ingest + fused one-dispatch
+    query across the 8-device CPU mesh return the right documents."""
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    from tests.conftest import cpu_mesh_devices
+
+    cpu_mesh_devices(8)
+    cfg = RAGConfig.load(overrides={
+        "embedding.model": "minilm",
+        "embedding.lexical_dim": 128,
+        "embedding.num_layers": 1,
+        "embedding.max_seq_len": 32,
+        "embedding.bundled_checkpoint": "",
+        "store.storage_path": str(tmp_path / "s"),
+        "retrieval.similarity_threshold": 0.0,
+        "index.initial_capacity": 256,
+        "mesh.index_shards": 8,
+    })
+    eng = RAGEngine(cfg)
+    try:
+        docs = [f"document about topic {i} with unique term t{i}zq"
+                for i in range(16)]
+        for i, d in enumerate(docs):
+            eng.add_document(d, source=f"s{i}")
+        import numpy as np
+
+        fused = eng._device_query(["unique term t7zq"], 3)
+        assert fused is not None
+        q_emb = np.asarray(eng.encoder.encode_queries(["unique term t7zq"]))
+        h_scores, h_rows = eng.index.search(q_emb, 3)
+        np.testing.assert_array_equal(np.asarray(fused[1])[0],
+                                      np.asarray(h_rows)[0])
+        res = eng.query("unique term t7zq", max_results=3)
+        assert res.documents and "t7zq" in res.documents[0].content
+    finally:
+        eng.shutdown()
+
+
+@pytest.mark.slow
 def test_fused_hybrid_query_matches_two_step(tmp_path):
     """The one-dispatch fused program with the lexical half passed as a
     device argument must return the same rows/scores as host
