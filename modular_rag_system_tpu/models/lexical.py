@@ -351,33 +351,65 @@ class LexicalHashEncoder:
         self.subword_n = int(subword_n)
         self.name = f"{name}-{dim}"
         self._canon = _Canonicalizer.get()
+        # Per-stem contribution cache (round-5 ingest fix): a stem's
+        # n-gram and expansion features are FIXED, so its full sparse
+        # vector is computed once and replayed as two numpy scatters.
+        # The uncached Python loops measured 460 chunks/s at 100k-row
+        # ingest on chip — a 45x regression vs the dense-only path.
+        self._stem_cache: Dict[str, tuple] = {}
+
+    def _stem_contrib(self, w: str):
+        """(own_idx, own_val, rest_idx, rest_val): the stem's own
+        bucket (to be scaled by the tf factor) and its fixed n-gram +
+        expansion contributions."""
+        c = self._stem_cache.get(w)
+        if c is not None:
+            return c
+        idf_w = self.idf(w)
+        own_idx = np.array([fnv1a(w) % self.dim], np.int64)
+        own_val = np.array(
+            [(1.0 if (fnv1a(w + "\x01") & 1) else -1.0) * idf_w],
+            np.float32)
+        r_idx: list = []
+        r_val: list = []
+        if self.subword_weight > 0.0:
+            padded = "^" + w + "$"
+            n_spans = max(len(padded) - self.subword_n + 1, 1)
+            sub_w = self.subword_weight * idf_w / n_spans
+            for j in range(n_spans):
+                g = padded[j:j + self.subword_n]
+                r_idx.append(fnv1a("#g" + g) % self.dim)
+                r_val.append(
+                    (1.0 if (fnv1a(g + "\x02") & 1) else -1.0) * sub_w)
+        if self.expansion is not None and self.expansion_weight > 0.0:
+            for b, strength in self.expansion.partners(w):
+                r_idx.append(fnv1a(b) % self.dim)
+                r_val.append(
+                    (1.0 if (fnv1a(b + "\x01") & 1) else -1.0)
+                    * self.expansion_weight * self.idf(b) * strength)
+        c = (own_idx, own_val,
+             np.asarray(r_idx, np.int64), np.asarray(r_val, np.float32))
+        self._stem_cache[w] = c
+        return c
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float32)
-        n_gram = self.subword_n
         for i, t in enumerate(texts):
             c = Counter(self._canon.features(t))
+            if not c:
+                continue
+            idx_parts: list = []
+            val_parts: list = []
             for w, n in c.items():
-                idf_w = self.idf(w)
-                h = fnv1a(w)
-                sign = 1.0 if (fnv1a(w + "\x01") & 1) else -1.0
-                out[i, h % self.dim] += sign * idf_w * (1.0 + math.log(n))
-                if self.subword_weight > 0.0:
-                    padded = "^" + w + "$"
-                    n_spans = max(len(padded) - n_gram + 1, 1)
-                    sub_w = self.subword_weight * idf_w / n_spans
-                    for j in range(n_spans):
-                        g = padded[j:j + n_gram]
-                        hg = fnv1a("#g" + g)
-                        sg = 1.0 if (fnv1a(g + "\x02") & 1) else -1.0
-                        out[i, hg % self.dim] += sg * sub_w
-                if self.expansion is not None and self.expansion_weight > 0.0:
-                    for b, strength in self.expansion.partners(w):
-                        hb = fnv1a(b)
-                        sb = 1.0 if (fnv1a(b + "\x01") & 1) else -1.0
-                        out[i, hb % self.dim] += (
-                            sb * self.expansion_weight * self.idf(b)
-                            * strength)
+                own_idx, own_val, r_idx, r_val = self._stem_contrib(w)
+                tf = 1.0 + math.log(n)
+                idx_parts.append(own_idx)
+                val_parts.append(tf * own_val)
+                if r_idx.size:
+                    idx_parts.append(r_idx)
+                    val_parts.append(r_val)
+            np.add.at(out[i], np.concatenate(idx_parts),
+                      np.concatenate(val_parts))
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         np.maximum(norms, 1e-9, out=norms)
         out /= norms
