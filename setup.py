@@ -9,7 +9,7 @@ from setuptools import find_packages, setup
 
 setup(
     name="modular-rag-system-tpu",
-    version="0.1.0",
+    version="0.5.0",
     description=(
         "TPU-native RAG framework: batched JAX encoder, HBM-resident "
         "index with fused Pallas top-k, mesh-sharded search, host "
