@@ -83,11 +83,13 @@ class RAGEngine:
         self.encoder = build_encoder(self.config)
         # one-encoder contract: the index is sized from the ENCODER's
         # output dim (a hybrid dense+lexical encoder is wider than
-        # embedding.dim; see models/lexical.py).  Keep the config in
-        # sync so snapshots/stats report the real width.
+        # embedding.dim; see models/lexical.py).  Deliberately NOT
+        # written back into the config: RAGConfig objects are reused
+        # (engine restarts, saved files), and mutating embedding.dim
+        # made the next build_encoder fail its arch checks and fall to
+        # random init with a drifting dim (round-5 review finding).
         enc_dim = int(getattr(self.encoder, "dim", 0) or self.config.embedding.dim)
-        if enc_dim != self.config.embedding.dim:
-            self.config.embedding.dim = enc_dim
+        self.embed_dim = enc_dim
         token_counter = getattr(self.encoder, "token_count", None)
         self.chunker = TextChunker(
             chunk_size_tokens=self.config.embedding.chunk_size_tokens,
@@ -117,14 +119,14 @@ class RAGEngine:
                     self.config.mesh.index_shards, axis=self.config.mesh.index_axis
                 )
             self.index = ShardedIndex(
-                dim=self.config.embedding.dim,
+                dim=enc_dim,
                 mesh=mesh,
                 capacity=self.config.index.initial_capacity,
                 **_index_tier_kwargs(self.config.index),
             )
         else:
             self.index = DeviceIndex(
-                dim=self.config.embedding.dim,
+                dim=enc_dim,
                 capacity=self.config.index.initial_capacity,
                 **_index_tier_kwargs(self.config.index),
             )

@@ -37,6 +37,18 @@ def build_encoder(config):
             )
         return enc
     if model in ("minilm", "auto"):
+        # validate hybrid config EAGERLY, outside the auto-path's
+        # degradation try/except: a bad lexical_weight must raise, not
+        # silently downgrade to the fake encoder (round-5 review)
+        if config.embedding.lexical_dim > 0 and not (
+            0.0 < config.embedding.lexical_weight < 1.0
+        ):
+            raise ValueError(
+                f"embedding.lexical_weight must be in (0,1), got "
+                f"{config.embedding.lexical_weight} (use lexical_dim=0 "
+                f"for pure dense)"
+            )
+
         def _maybe_hybrid(dense):
             # hybrid dense+lexical wrap (models/lexical.py): applied to
             # the semantic path only — "fake"/"ollama" stay raw so the

@@ -58,14 +58,14 @@ def wilson_interval(p: float, n: int, z: float = 1.96) -> Tuple[float, float]:
     return (max(0.0, center - half), min(1.0, center + half))
 
 
-def recall_at_k_external(encoder, k: int = 10,
-                         path: str | None = None) -> float:
-    """recall@k of the gold passage over the full external set.
+def pool_recall_at_k(encoder, queries, passages, k: int = 10) -> float:
+    """recall@k of queries[i] -> passages[i] over the given pool.
 
-    ``encoder`` is anything with ``encode(list[str]) -> (n, d)``
-    (MiniLMEncoder, FeatureHashEncoder, ...).  Rows are re-normalized
-    here so encoders that do not L2-normalize are scored fairly."""
-    queries, passages = load_external_qa(path)
+    THE single scoring implementation (tie-break, normalization
+    epsilon) shared by the full-set and legacy-96 metrics so the fixed
+    instrument stays comparable across rounds.  ``encoder`` is anything
+    with ``encode(list[str]) -> (n, d)``; rows are re-normalized here
+    so encoders that do not L2-normalize are scored fairly."""
     D = np.asarray(encoder.encode(list(passages)), np.float32)
     Q = np.asarray(encoder.encode(list(queries)), np.float32)
     D /= np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-9)
@@ -74,6 +74,13 @@ def recall_at_k_external(encoder, k: int = 10,
     kk = min(k, s.shape[1])
     top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
     return float(np.mean([i in top[i] for i in range(len(queries))]))
+
+
+def recall_at_k_external(encoder, k: int = 10,
+                         path: str | None = None) -> float:
+    """recall@k of the gold passage over the full external set."""
+    queries, passages = load_external_qa(path)
+    return pool_recall_at_k(encoder, queries, passages, k)
 
 
 def recall_at_k_legacy96(encoder, k: int = 10,
@@ -83,15 +90,7 @@ def recall_at_k_legacy96(encoder, k: int = 10,
     unchanged), so round-over-round encoder progress is measured on a
     fixed instrument while the full set keeps growing."""
     queries, passages = load_external_qa(path)
-    queries, passages = queries[:96], passages[:96]
-    D = np.asarray(encoder.encode(list(passages)), np.float32)
-    Q = np.asarray(encoder.encode(list(queries)), np.float32)
-    D /= np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-9)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-9)
-    s = Q @ D.T
-    kk = min(k, s.shape[1])
-    top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
-    return float(np.mean([i in top[i] for i in range(len(queries))]))
+    return pool_recall_at_k(encoder, queries[:96], passages[:96], k)
 
 
 def bundled_encoder_external_recall(k: int = 10) -> float:

@@ -123,9 +123,18 @@ def _hf_cache_present(model_name: str) -> bool:
     import os
     from pathlib import Path
 
+    model_dir = "models--" + model_name.replace("/", "--")
+    candidates = []
+    # huggingface_hub's documented resolution order: HF_HUB_CACHE ->
+    # HF_HOME/hub -> ~/.cache/huggingface/hub (+ legacy TRANSFORMERS_CACHE)
+    for env in ("HF_HUB_CACHE", "TRANSFORMERS_CACHE"):
+        v = os.environ.get(env)
+        if v:
+            candidates.append(Path(v))
     home = os.environ.get("HF_HOME")
-    hub = Path(home) / "hub" if home else Path.home() / ".cache" / "huggingface" / "hub"
-    return (hub / ("models--" + model_name.replace("/", "--"))).is_dir()
+    candidates.append(Path(home) / "hub" if home
+                      else Path.home() / ".cache" / "huggingface" / "hub")
+    return any((c / model_dir).is_dir() for c in candidates)
 
 
 def try_build_pretrained_encoder(config):

@@ -356,7 +356,11 @@ class LexicalHashEncoder:
         # vector is computed once and replayed as two numpy scatters.
         # The uncached Python loops measured 460 chunks/s at 100k-row
         # ingest on chip — a 45x regression vs the dense-only path.
+        # Bounded: past the cap, contributions are computed uncached
+        # (arbitrary user text mints unbounded unique stems — UUIDs,
+        # identifiers — and a long-lived server must not leak host RAM).
         self._stem_cache: Dict[str, tuple] = {}
+        self._STEM_CACHE_MAX = 262_144
 
     def _stem_contrib(self, w: str):
         """(own_idx, own_val, rest_idx, rest_val): the stem's own
@@ -389,7 +393,8 @@ class LexicalHashEncoder:
                     * self.expansion_weight * self.idf(b) * strength)
         c = (own_idx, own_val,
              np.asarray(r_idx, np.int64), np.asarray(r_val, np.float32))
-        self._stem_cache[w] = c
+        if len(self._stem_cache) < self._STEM_CACHE_MAX:
+            self._stem_cache[w] = c
         return c
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
@@ -414,6 +419,49 @@ class LexicalHashEncoder:
         np.maximum(norms, 1e-9, out=norms)
         out /= norms
         return out
+
+
+def build_lexical_statistics(out_dir: Optional[str] = None,
+                             max_sentences: int = 120_000,
+                             max_py_files: int = 8_000) -> dict:
+    """Build + save the bundled lexical statistics (idf.json +
+    expansion.json) from the canonical corpus mix.
+
+    THE single recipe — both ``tools/build_lexical_assets.py`` and
+    ``tools/build_default_encoder.py`` call this, so the two assets can
+    never drift out of sync with each other or with the feature
+    definition (stemmer/lexicon) above (round-5 review finding)."""
+    from pathlib import Path as _Path
+
+    from modular_rag_system_tpu.models.corpus import (
+        harvest_container_text,
+        load_knowledge,
+        load_train_qa,
+    )
+
+    know = load_knowledge()
+    _, qa_p = load_train_qa()
+    harv = harvest_container_text(max_sentences=max_sentences,
+                                  max_py_files=max_py_files)
+    # training passages only — the held-out tail (96, split seed 13 in
+    # the build tools) must not inform the statistics it tunes against
+    import random as _random
+
+    order = list(range(len(qa_p)))
+    _random.Random(13).shuffle(order)
+    tr_p = [qa_p[i] for i in order][:-96]
+
+    idf = IdfTable.from_texts(harv + know + tr_p)
+    exp = ExpansionTable.from_texts(know * 4 + tr_p + harv)
+    d = _Path(out_dir) if out_dir else _BUNDLED_IDF.parent
+    d.mkdir(parents=True, exist_ok=True)
+    idf.save(str(d / "idf.json"))
+    exp.save(str(d / "expansion.json"))
+    return {"idf_terms": len(idf.idf),
+            "expansion_entries": len(exp.table),
+            "corpora": {"knowledge": len(know), "qa_train": len(tr_p),
+                        "harvested": len(harv)},
+            "asset_dir": str(d)}
 
 
 class HybridEncoder:

@@ -98,6 +98,59 @@ def run_check(process_id: int, num_processes: int, coordinator: str) -> None:
     print(f"MH_CHECK_OK pid={process_id}", flush=True)
 
 
+def spawn_two_process_cluster(devices_per_proc: int = 4,
+                              timeout: float = 240.0,
+                              repo_dir: str | None = None) -> list:
+    """Launch BOTH processes of a 2-process CPU cluster running this
+    module and wait for them.  Returns [(rc, stdout, stderr), ...];
+    raises RuntimeError if either process fails or misses MH_CHECK_OK.
+
+    The single harness shared by ``tests/test_multihost.py`` and
+    ``__graft_entry__.dryrun_multichip`` (they previously duplicated
+    the port-pick/env-scrub/Popen logic — round-5 review finding)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    # drop PYTHONPATH: this container's sitecustomize eagerly claims
+    # the TPU grant, which serializes (or wedges) concurrent processes
+    env.pop("PYTHONPATH", None)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_per_proc}",
+    })
+    cwd = repo_dir or os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-m",
+             "modular_rag_system_tpu.parallel.mh_check",
+             str(pid), "2", f"127.0.0.1:{port}"],
+            env=env, cwd=cwd, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)
+    ]
+    results = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            results.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in results:
+        if rc != 0 or "MH_CHECK_OK" not in out:
+            raise RuntimeError(
+                f"2-process cluster check failed (rc={rc}):\n"
+                f"{out[-1500:]}\n{err[-2000:]}")
+    return results
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 3:

@@ -149,9 +149,44 @@ def test_engine_sizes_index_from_hybrid_encoder(tmp_path):
     eng = RAGEngine(_hybrid_cfg(tmp_path))
     try:
         assert eng.index.dim == eng.encoder.dim == 384 + 128
-        assert eng.config.embedding.dim == 384 + 128
+        assert eng.embed_dim == 384 + 128
     finally:
         eng.shutdown()
+
+
+def test_engine_does_not_mutate_config_dim(tmp_path):
+    """Regression (round-5 review): the engine must NOT write the
+    hybrid width back into config.embedding.dim — a reused RAGConfig
+    then failed the bundled/HF arch checks and silently rebuilt a
+    random-init encoder with a drifting dim."""
+    from modular_rag_system_tpu.engine import RAGEngine
+
+    cfg = _hybrid_cfg(tmp_path)
+    assert cfg.embedding.dim == 384
+    eng = RAGEngine(cfg)
+    try:
+        assert eng.index.dim == eng.embed_dim == 384 + 128
+        assert cfg.embedding.dim == 384  # untouched
+    finally:
+        eng.shutdown()
+    # a second engine from the SAME config resolves identically
+    eng2 = RAGEngine(cfg)
+    try:
+        assert eng2.index.dim == 384 + 128
+        assert eng2.encoder.dim == eng2.index.dim
+    finally:
+        eng2.shutdown()
+
+
+def test_build_encoder_rejects_bad_lexical_weight():
+    """Regression (round-5 review): an out-of-range lexical_weight must
+    raise, not silently downgrade 'auto' to the fake encoder."""
+    from modular_rag_system_tpu.config import RAGConfig
+    from modular_rag_system_tpu.models import build_encoder
+
+    cfg = RAGConfig.load(overrides={"embedding.lexical_weight": 1.0})
+    with pytest.raises(ValueError, match="lexical_weight"):
+        build_encoder(cfg)
 
 
 @pytest.mark.slow

@@ -121,35 +121,15 @@ def test_multihost_two_process_cluster():
     add+search whose shards live on the OTHER process's devices.
 
     Deliberately in the FAST profile: this is the only in-image proof
-    that the distributed layer works beyond num_processes=1."""
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    env = dict(os.environ)
-    env.pop("PYTHONPATH", None)  # skip the TPU-claiming sitecustomize
-    env.update({
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-    })
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m",
-             "modular_rag_system_tpu.parallel.mh_check",
-             str(pid), "2", f"127.0.0.1:{port}"],
-            env=env, cwd=REPO, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for pid in (0, 1)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=240)
-            outs.append((p.returncode, out, err))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for rc, out, err in outs:
+    that the distributed layer works beyond num_processes=1.  The
+    spawn harness is shared with ``__graft_entry__.dryrun_multichip``
+    (``parallel.mh_check.spawn_two_process_cluster``)."""
+    from modular_rag_system_tpu.parallel.mh_check import (
+        spawn_two_process_cluster,
+    )
+
+    results = spawn_two_process_cluster(devices_per_proc=4, repo_dir=REPO)
+    for rc, out, err in results:
         assert rc == 0, err[-2000:]
         for marker in ("MH_PSUM_OK", "MH_DEFAULTS_OK", "MH_SHARDED_OK",
                        "MH_CHECK_OK"):

@@ -235,8 +235,20 @@ def main() -> int:
     trainer.sync_encoder()
 
     # ---------------- bundled IDF for the lexical encoder -------------
-    idf = IdfTable.from_texts(train_sents[:50_000] + knowledge + tr_p)
-    log(f"idf table: {len(idf.idf)} stems")
+    # canonical shared recipe (models/lexical.build_lexical_statistics):
+    # writes idf.json + expansion.json directly into the asset dir so
+    # this tool and tools/build_lexical_assets.py can never drift
+    from modular_rag_system_tpu.models.default_ckpt import ASSET_DIR
+    from modular_rag_system_tpu.models.lexical import (
+        ExpansionTable,
+        build_lexical_statistics,
+    )
+
+    lex_dir = args.out or str(ASSET_DIR)
+    lex_stats = build_lexical_statistics(out_dir=lex_dir)
+    log(f"lexical statistics: {lex_stats}")
+    idf = IdfTable.load(str(Path(lex_dir) / "idf.json"))
+    expansion = ExpansionTable.load(str(Path(lex_dir) / "expansion.json"))
 
     # ---------------- evaluation (held-out QA tunes the hybrid) -------
     from modular_rag_system_tpu.models.synth import recall_at_k
@@ -259,7 +271,7 @@ def main() -> int:
             f"synth {results[f'synth_recall@10/{name}']} "
             f"heldoutQA {results[f'heldout_qa_recall@10/{name}']}")
 
-    lex = LexicalHashEncoder(dim=384, idf=idf)
+    lex = LexicalHashEncoder(dim=384, idf=idf, expansion=expansion)
     results["heldout_qa_recall@10/lexical"] = round(
         recall10(lex, ho_p, ho_q), 4)
     best_w, best_r = None, -1.0
@@ -275,7 +287,6 @@ def main() -> int:
 
     params_host = __import__("jax").tree.map(np.asarray, enc.params)
     out = save_default_encoder(params_host, arch, vocab, args.out)
-    idf.save(str(Path(out) / "idf.json"))
     size_mb = sum(f.stat().st_size for f in Path(out).iterdir()) / 1e6
     log(f"assets written to {out} ({size_mb:.1f} MB)")
     print(json.dumps({"assets": out, "size_mb": round(size_mb, 1),

@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Build the lexical encoder's bundled assets (round 5): the IDF table
-and the PMI co-occurrence ExpansionTable, from the same zero-egress
-corpora the dense encoder trains on (knowledge sentences + harvested
-container English + the QA training passages).
+and the PMI co-occurrence ExpansionTable, via the canonical recipe in
+``models.lexical.build_lexical_statistics`` (shared with
+tools/build_default_encoder.py so the assets can never drift).
 
 No TPU required — pure host work, a couple of minutes.  Run after any
 change to the stemmer, lexicon, or corpora so the bundled statistics
@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import random
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -27,42 +26,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    from modular_rag_system_tpu.models.corpus import (
-        harvest_container_text,
-        load_knowledge,
-        load_train_qa,
-    )
-    from modular_rag_system_tpu.models.default_ckpt import ASSET_DIR
+    from modular_rag_system_tpu.models.corpus import load_train_qa
     from modular_rag_system_tpu.models.lexical import (
         ExpansionTable,
         IdfTable,
         LexicalHashEncoder,
+        build_lexical_statistics,
     )
 
-    t0 = time.time()
-    know = load_knowledge()
-    qa_q, qa_p = load_train_qa()
-    harv = harvest_container_text(max_sentences=120_000, max_py_files=8_000)
-    print(f"[lex-assets] corpora: {len(know)} knowledge / {len(qa_p)} QA "
-          f"/ {len(harv)} harvested ({time.time()-t0:.0f}s)",
-          file=sys.stderr)
+    stats = build_lexical_statistics()
+    print(f"[lex-assets] {stats}", file=sys.stderr)
 
     # held-out split mirrors tools/build_default_encoder.py exactly
+    qa_q, qa_p = load_train_qa()
     order = list(range(len(qa_q)))
     random.Random(13).shuffle(order)
-    qa_q = [qa_q[i] for i in order]
-    qa_p = [qa_p[i] for i in order]
-    ho_q, ho_p = qa_q[-96:], qa_p[-96:]
-    tr_p = qa_p[:-96]
+    ho_q = [qa_q[i] for i in order][-96:]
+    ho_p = [qa_p[i] for i in order][-96:]
 
-    idf = IdfTable.from_texts(harv + know + tr_p)
-    # knowledge corpus repeated: its facts are the densest source of
-    # general-English co-occurrence, and PMI needs the counts
-    exp = ExpansionTable.from_texts(know * 4 + tr_p + harv)
-    idf.save(str(Path(ASSET_DIR) / "idf.json"))
-    exp.save(str(Path(ASSET_DIR) / "expansion.json"))
-
-    lex = LexicalHashEncoder(dim=384, idf=idf, expansion=exp)
+    d = Path(stats["asset_dir"])
+    lex = LexicalHashEncoder(
+        dim=384,
+        idf=IdfTable.load(str(d / "idf.json")),
+        expansion=ExpansionTable.load(str(d / "expansion.json")),
+    )
     D = lex.encode(ho_p)
     Q = lex.encode(ho_q)
     s = Q @ D.T
@@ -70,10 +57,8 @@ def main() -> int:
     recall = float(np.mean([i in top[i] for i in range(len(ho_q))]))
 
     print(json.dumps({
-        "idf_terms": len(idf.idf),
-        "expansion_entries": len(exp.table),
+        **{k: v for k, v in stats.items() if k != "corpora"},
         "heldout_qa_recall@10/lexical": round(recall, 4),
-        "asset_dir": str(ASSET_DIR),
     }))
     return 0
 

@@ -78,7 +78,7 @@ def main() -> int:
 
     def chain_path(E_q, sc, E16, qq):
         v, r = twopass_topk_int8_raw(E_q, sc, cnt, qq, kf, 4096, bw, interp)
-        return refine_against_master(E16, qq, r, k)
+        return refine_against_master(E16, qq, r, k, cand_vals=v)
 
     def mixed_path(extra):
         def f(E_q, sc, E16, qq):
